@@ -1,0 +1,70 @@
+"""Headline benchmark: images/sec/chip for the flagship pair under the
+thesis objective (wganlazygpR2), 64x64.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio vs the PyTorch reference implementation measured on this
+host (stored in BENCH_BASELINE.json by tools/measure_reference.py; the
+reference publishes no throughput numbers — BASELINE.md). If no stored
+baseline exists, vs_baseline is 0.0.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train import create_state, build_train_step
+    from __graft_entry__ import _flagship
+
+    g, d, g_name, d_name = _flagship(tiny=False)
+    obj = get_objective("wganlazygpR2")
+    g_tx, d_tx = obj.make_optimizers()
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    image_size = (64, 64, 3)
+    rng = jax.random.PRNGKey(0)
+    state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
+                         image_size=image_size)
+    step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+    batch = jax.random.normal(rng, (batch_size, *image_size))
+
+    # warmup/compile both variants
+    state, m = step(state, batch, jax.random.PRNGKey(1), 0)
+    state, m = step(state, batch, jax.random.PRNGKey(2), 1)
+    jax.block_until_ready(m)
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = step(state, batch, jax.random.PRNGKey(3 + i), i)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    ips = batch_size * n_steps / dt / n_chips
+
+    baseline = 0.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
+            blob = json.load(f)
+        baseline = float(blob.get("reference_images_per_sec", 0.0))
+    except (OSError, ValueError):
+        pass
+    vs = ips / baseline if baseline > 0 else 0.0
+
+    print(json.dumps({
+        "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Model registry — the config-driven replacement for the reference's
+factory modules (/root/reference/units/get_generators.py:12-111,
+/root/reference/units/get_discriminator.py:15-91) *and* for the newer
+variants that had no factory upstream (G13_1..13_5, G14, D9_2..9_4,
+D9_small — SURVEY.md SS1 "no factory" quirk; here every model is named).
+
+Names mirror the reference file stems. Each entry is a zero-boilerplate
+constructor taking reference-default kwargs.
+"""
+
+from typing import Callable, Dict
+
+from gan_tpu.models.generators import (
+    Generator1,
+    Generator2,
+    Generator3ProGAN,
+    Generator4,
+    Generator5,
+)
+from gan_tpu.models.discriminators import (
+    Discriminator1,
+    Discriminator2,
+    Discriminator3WGANGP,
+    Discriminator3WGANGPSN,
+    Discriminator3ProGAN,
+)
+
+GENERATORS: Dict[str, Callable] = {
+    # reference factory defaults: get_1(z, (3,64,64)); get_2(nz, ngf, nc);
+    # get_4..get_13 default z_dim=128 (main.py passes nz=256 explicitly).
+    "G1": lambda z_dim=256, **kw: Generator1(z_dim=z_dim, **kw),
+    "G2": lambda z_dim=256, ngf=256, nc=3, **kw: Generator2(
+        z_dim=z_dim, ngf=ngf, nc=nc, **kw
+    ),
+    "G3_progan": lambda z_dim=256, ngf=256, nc=3, **kw: Generator3ProGAN(
+        z_dim=z_dim, ngf=ngf, nc=nc, **kw
+    ),
+    "G4": lambda z_dim=256, **kw: Generator4(z_dim=z_dim, **kw),
+    "G5": lambda z_dim=256, **kw: Generator5(z_dim=z_dim, **kw),
+}
+
+DISCRIMINATORS: Dict[str, Callable] = {
+    "D1": lambda **kw: Discriminator1(**kw),
+    "D2": lambda ndf=64, nc=3, **kw: Discriminator2(ndf=ndf, nc=nc, **kw),
+    "D3_wgangp": lambda ndf=128, nc=3, **kw: Discriminator3WGANGP(
+        ndf=ndf, nc=nc, **kw
+    ),
+    "D3_wgangpsn": lambda ndf=64, nc=3, **kw: Discriminator3WGANGPSN(
+        ndf=ndf, nc=nc, **kw
+    ),
+    "D3_wgangp_progan": lambda ndf=64, nc=3, **kw: Discriminator3ProGAN(
+        ndf=ndf, nc=nc, **kw
+    ),
+}
+
+
+def build_generator(name: str, **kwargs):
+    if name not in GENERATORS:
+        raise KeyError(
+            f"unknown generator {name!r}; available: {sorted(GENERATORS)}"
+        )
+    return GENERATORS[name](**kwargs)
+
+
+def build_discriminator(name: str, **kwargs):
+    if name not in DISCRIMINATORS:
+        raise KeyError(
+            f"unknown discriminator {name!r}; available: {sorted(DISCRIMINATORS)}"
+        )
+    return DISCRIMINATORS[name](**kwargs)

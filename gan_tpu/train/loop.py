@@ -1,0 +1,155 @@
+"""The training loop driver.
+
+Replaces the reference Train.train() epoch loops (/root/reference/train/
+gan.py:55-77 et al.): epochs over the loader, jitted step dispatch on the
+lazy cadence, reference artifact cadences (fixed-noise sample grids, record
+txt/series, loss plot), Orbax checkpointing with auto-resume-from-latest.
+
+TPU-first: the step is fully jitted and state-donated; metrics are fetched
+(device sync) only on the record cadence, not every iteration — the
+reference's per-step .item() sync (SURVEY.md SS3.2) is the first thing a
+TPU port must *not* do.
+"""
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from gan_tpu.data.augment import preprocess_batch
+from gan_tpu.io.checkpoint import CheckpointManager
+from gan_tpu.io.images import save_image_grid
+from gan_tpu.io.records import Recorder
+from gan_tpu.objectives import Objective
+from gan_tpu.train.state import create_state
+from gan_tpu.train.step import build_train_step
+from gan_tpu.utils import param_count
+
+
+class Trainer:
+    def __init__(
+        self,
+        dataloader,
+        num_epochs: int,
+        nz: int,
+        generator,
+        generator_name: str,
+        discriminator,
+        discriminator_name: str,
+        objective: Objective,
+        seed: int = 0,
+        workdir: str = ".",
+        image_size=(64, 64),
+        checkpoint: bool = True,
+        preprocess: bool = True,
+        log_every: int = 50,
+    ):
+        self.dataloader = dataloader
+        self.num_epochs = num_epochs
+        self.nz = nz
+        self.g_model = generator
+        self.g_name = generator_name
+        self.d_model = discriminator
+        self.d_name = discriminator_name
+        self.obj = objective
+        self.workdir = workdir
+        self.image_size = image_size
+        self.preprocess = preprocess
+        self.log_every = log_every
+
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng, noise_rng = jax.random.split(self.rng, 3)
+
+        g_tx, d_tx = objective.make_optimizers()
+        self.state = create_state(
+            init_rng,
+            generator,
+            discriminator,
+            g_tx,
+            d_tx,
+            batch_size=dataloader.batch_size,
+            image_size=(*image_size, 3),
+        )
+        self.step_fn = build_train_step(generator, discriminator, objective, g_tx, d_tx)
+        # fixed eval noise, reference-sized per trainer (gan.py:13 -> 64;
+        # wganlazygp*.py:11 -> 16)
+        self.fixed_noise = jax.random.normal(noise_rng, (objective.fixed_noise, nz))
+        self.recorder = Recorder()
+        self.epoch = 0
+        self.i = 0
+
+        print(f"# generator parameters: {param_count(self.state.g_params)}")
+        print(f"# discriminator parameters: {param_count(self.state.d_params)}")
+
+        self.ckpt: Optional[CheckpointManager] = None
+        if checkpoint:
+            self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoint"))
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                print(f"==> resuming from checkpoint step {latest}")
+                self.state = self.ckpt.restore(self.state, latest)
+                epoch_len = len(self.dataloader)
+                self.epoch = latest // max(epoch_len, 1)
+                self.i = latest % max(epoch_len, 1)
+
+        self._preprocess = jax.jit(
+            lambda rng, raw: preprocess_batch(rng, raw, out_size=image_size)
+        )
+        self._sample = jax.jit(
+            lambda g_params, g_state, z: generator.apply(
+                {"params": g_params, **g_state}, z, train=False,
+                rngs={"noise": jax.random.PRNGKey(0)},
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def save_images(self, epoch: int, i: int) -> None:
+        imgs = self._sample(self.state.g_params, self.state.g_state, self.fixed_noise)
+        path = os.path.join(self.workdir, "generated_images", f"{epoch}-{i}.png")
+        save_image_grid(np.asarray(jax.device_get(imgs)), path)
+
+    def train(self) -> None:
+        obj = self.obj
+        print("Starting Training Loop...")
+        t0 = time.time()
+        n_imgs = 0
+        for epoch in range(self.epoch, self.num_epochs):
+            for i, raw in enumerate(self.dataloader):
+                self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+                batch = (
+                    self._preprocess(prep_rng, raw) if self.preprocess else raw
+                )
+                self.state, metrics = self.step_fn(self.state, batch, step_rng, i)
+                n_imgs += batch.shape[0]
+
+                if obj.record_every and i % obj.record_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    record = [
+                        ("Discriminator real loss", m["real_loss"]),
+                        ("Discriminator fake loss", m["fake_loss"]),
+                        ("Gradient penalties", m["gp"]),
+                        ("Simplified gradient penalties R1", m["r1"]),
+                        ("Simplified gradient penalties R2", m["r2"]),
+                        ("Generator loss", m["g_loss"]),
+                    ]
+                    self.recorder.add(record)
+                    self.recorder.write_txt(
+                        os.path.join(self.workdir, obj.name), record
+                    )
+                if obj.image_every and i % obj.image_every == 0:
+                    self.save_images(epoch, i)
+                if self.log_every and i % self.log_every == 0:
+                    m = {k: round(float(v), 4) for k, v in metrics.items()}
+                    ips = n_imgs / max(time.time() - t0, 1e-9)
+                    print(f"[{epoch}/{self.num_epochs}][{i}] {m} ({ips:.1f} img/s)")
+            if self.ckpt is not None and obj.ckpt_every_epoch:
+                self.ckpt.save((epoch + 1) * len(self.dataloader), self.state)
+        if obj.record_every:
+            self.recorder.plot(os.path.join(self.workdir, obj.name), obj.record_every)
+        if self.ckpt is not None:
+            final_step = max(self.num_epochs, 1) * len(self.dataloader)
+            if self.ckpt.latest_step() != final_step:
+                self.ckpt.save(final_step, self.state, wait=True)

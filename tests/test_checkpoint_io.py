@@ -1,0 +1,63 @@
+"""Checkpoint round-trip (bit-faithful resume) + artifact IO."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_tpu.io import CheckpointManager, Recorder, make_grid, save_image_grid
+from gan_tpu.models.generators import Generator1
+from gan_tpu.models.discriminators import Discriminator3WGANGP
+from gan_tpu.objectives import get_objective
+from gan_tpu.train import create_state, build_train_step
+
+
+def test_checkpoint_roundtrip_bitexact(tmp_path):
+    obj = get_objective("wgangp")
+    g = Generator1(z_dim=8, image_size=(64, 64, 3))
+    d = Discriminator3WGANGP(ndf=4)
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    state = create_state(rng, g, d, g_tx, d_tx, batch_size=4, image_size=(64, 64, 3))
+    step = build_train_step(g, d, obj, g_tx, d_tx, jit=False)
+    batch = jax.random.normal(rng, (4, 64, 64, 3))
+    state, _ = step(state, batch, jax.random.PRNGKey(1), 0)
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, state, wait=True)
+    assert mngr.latest_step() == 1
+    restored = mngr.restore(state)
+
+    # resume must be bit-faithful: stepping both must agree exactly
+    s1, m1 = step(state, batch, jax.random.PRNGKey(2), 1)
+    s2, m2 = step(restored, batch, jax.random.PRNGKey(2), 1)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.g_params), jax.tree_util.tree_leaves(s2.g_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mngr.close()
+
+
+def test_make_grid_and_save(tmp_path):
+    imgs = np.random.randn(9, 16, 16, 3).astype(np.float32)
+    grid = make_grid(imgs)
+    assert grid.dtype == np.uint8
+    assert grid.shape == (3 * 18 + 2, 3 * 18 + 2, 3)
+    p = str(tmp_path / "g.png")
+    save_image_grid(imgs, p)
+    assert os.path.exists(p)
+
+
+def test_recorder_roundtrip(tmp_path):
+    r = Recorder()
+    r.add([("Generator loss", 1.5), ("Discriminator real loss", -0.3)])
+    r.add([("Generator loss", 1.2), ("Discriminator real loss", -0.1)])
+    p = str(tmp_path / "rec.json")
+    r.save(p)
+    r2 = Recorder.load(p)
+    assert r2.record["Generator loss"] == [1.5, 1.2]
+    r2.plot(str(tmp_path / "plot"), 30, dpi=60)
+    assert os.path.exists(str(tmp_path / "plot.png"))

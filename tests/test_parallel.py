@@ -1,0 +1,78 @@
+"""Data-parallel semantics on the 8-device virtual CPU mesh: a DP-sharded
+step must equal the single-device step on the global batch (SURVEY.md SS4
+implication #4 — this includes whole-batch BatchNorm semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_tpu.models.generators import Generator2
+from gan_tpu.models.discriminators import Discriminator2
+from gan_tpu.objectives import get_objective
+from gan_tpu.parallel import create_mesh, batch_sharding, replicate_sharding
+from gan_tpu.train import create_state, build_train_step
+
+
+def test_eight_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_dp_step_matches_single_device():
+    obj = get_objective("wgangp")
+    # G2/D2 include BatchNorm -> exercises global-batch stats under DP
+    g = Generator2(z_dim=8, ngf=4)
+    d = Discriminator2(ndf=4)
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (16, 64, 64, 3))
+
+    def run(sharded: bool):
+        state = create_state(rng, g, d, g_tx, d_tx, batch_size=16)
+        if sharded:
+            mesh = create_mesh(n_data=8, n_model=1)
+            bsh = batch_sharding(mesh)
+            rep = replicate_sharding(mesh)
+            state = jax.device_put(state, rep)
+            b = jax.device_put(batch, bsh)
+        else:
+            b = batch
+        step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+        state, metrics = step(state, b, jax.random.PRNGKey(2), 0)
+        return jax.device_get(metrics), jax.device_get(state.g_params)
+
+    m_single, p_single = run(False)
+    m_dp, p_dp = run(True)
+    for k in m_single:
+        np.testing.assert_allclose(m_single[k], m_dp[k], rtol=2e-4, atol=1e-5)
+    leaves_s = jax.tree_util.tree_leaves(p_single)
+    leaves_d = jax.tree_util.tree_leaves(p_dp)
+    for a, b in zip(leaves_s, leaves_d):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_model_axis_sharding_compiles():
+    """TP: shard wide layer output channels over 'model', step still runs."""
+    from gan_tpu.parallel import shard_params
+
+    obj = get_objective("gan")
+    from gan_tpu.models.generators import Generator1
+    from gan_tpu.models.discriminators import Discriminator1
+
+    g = Generator1(z_dim=32, image_size=(32, 32, 3))
+    d = Discriminator1()
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    state = create_state(rng, g, d, g_tx, d_tx, batch_size=8, image_size=(32, 32, 3))
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    state = state.replace(
+        g_params=shard_params(state.g_params, mesh, min_size=128),
+        d_params=shard_params(state.d_params, mesh, min_size=128),
+    )
+    batch = jax.device_put(
+        jax.random.normal(rng, (8, 32, 32, 3)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 0)
+    assert all(bool(jnp.isfinite(v)) for v in metrics.values())
