@@ -79,16 +79,20 @@ def leaky_relu(x, negative_slope: float = 0.2):
 
 
 class PReLU(nn.Module):
-    """torch-parity PReLU: a single learned slope, init 0.25
-    (torch nn.PReLU() default; used throughout the reference zoos, e.g.
-    /root/reference/discriminators/discriminator_3_wgangp.py:23)."""
+    """torch-parity PReLU: learned slope(s), init 0.25. channels=1 is the
+    torch nn.PReLU() default (one shared slope); channels=C matches
+    nn.PReLU(C) (per-channel slopes, e.g. the style generators'
+    nn.PReLU(planes), /root/reference/generators/generator_12.py:77)."""
 
+    channels: int = 1
     init: float = 0.25
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        alpha = self.param("alpha", nn.initializers.constant(self.init), (1,))
+        alpha = self.param(
+            "alpha", nn.initializers.constant(self.init), (self.channels,)
+        )
         alpha = alpha.astype(x.dtype)
         return jnp.where(x >= 0, x, alpha * x)
 
@@ -396,25 +400,22 @@ class EqualizedConvTranspose(nn.Module):
 
 
 class EqualizedLinear(nn.Module):
-    """Equalized linear: weight ~ N(0,1) scaled by c/sqrt(fan_in), bias init
-    constant (StyleGAN2 convention used by the reference's labml-derived
-    layers, /root/reference/generators/generator_12.py and
-    /root/reference/discriminators/discriminator_8.py)."""
+    """Equalized linear: weight ~ N(0,1) scaled at runtime by 1/sqrt(fan_in);
+    bias initialized as bias_init * N(0,1) — the reference's
+    `normal_(empty(out)) * bias` (generator_12.py:60-66), so bias=0 gives
+    zeros and bias=1 gives unit-normal."""
 
     features: int
     bias_init_val: float = 0.0
-    lr_mul: float = 1.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
-        scale = 1.0 / math.sqrt(fan_in) * self.lr_mul
-        w = self.param(
-            "kernel", normal_init(1.0 / self.lr_mul), (fan_in, self.features)
-        )
+        scale = 1.0 / math.sqrt(fan_in)
+        w = self.param("kernel", normal_init(1.0), (fan_in, self.features))
         b = self.param(
-            "bias", nn.initializers.constant(self.bias_init_val), (self.features,)
+            "bias", normal_init(self.bias_init_val), (self.features,)
         )
         dt = self.dtype or x.dtype
         return jnp.dot(x, (w * scale).astype(dt)) + b.astype(dt)

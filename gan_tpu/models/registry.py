@@ -16,6 +16,14 @@ from gan_tpu.models.generators import (
     Generator3ProGAN,
     Generator4,
     Generator5,
+    Generator6,
+    Generator7,
+    Generator8,
+    Generator9,
+    Generator10,
+    Generator10_2,
+    Generator11,
+    Generator12,
 )
 from gan_tpu.models.discriminators import (
     Discriminator1,
@@ -37,6 +45,14 @@ GENERATORS: Dict[str, Callable] = {
     ),
     "G4": lambda z_dim=256, **kw: Generator4(z_dim=z_dim, **kw),
     "G5": lambda z_dim=256, **kw: Generator5(z_dim=z_dim, **kw),
+    "G6": lambda z_dim=256, **kw: Generator6(z_dim=z_dim, **kw),
+    "G7": lambda z_dim=256, **kw: Generator7(z_dim=z_dim, **kw),
+    "G8": lambda z_dim=256, **kw: Generator8(z_dim=z_dim, **kw),
+    "G9": lambda z_dim=256, **kw: Generator9(z_dim=z_dim, **kw),
+    "G10": lambda z_dim=256, **kw: Generator10(z_dim=z_dim, **kw),
+    "G10_2": lambda z_dim=256, **kw: Generator10_2(z_dim=z_dim, **kw),
+    "G11": lambda z_dim=256, **kw: Generator11(z_dim=z_dim, **kw),
+    "G12": lambda z_dim=256, **kw: Generator12(z_dim=z_dim, **kw),
 }
 
 DISCRIMINATORS: Dict[str, Callable] = {

@@ -25,7 +25,10 @@ def load_ref_module(relpath: str, name: str):
 
 
 def torch_count(model) -> int:
-    return sum(p.numel() for p in model.parameters())
+    # trainable params only: the reference stores the fixed Smooth blur
+    # kernel as an nn.Parameter(requires_grad=False) (generator_12.py:27);
+    # our rebuild keeps it as a constant, not a parameter.
+    return sum(p.numel() for p in model.parameters() if p.requires_grad)
 
 
 # name -> (reference relpath, reference ctor, ctor kwargs, ours builder)
@@ -89,12 +92,18 @@ def ours_count(name: str) -> int:
     from gan_tpu.utils import param_count
 
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    # eval_shape: no compilation, no device — just trace for shapes
     if name.startswith("G"):
         m = build_generator(name, z_dim=256)
-        v = m.init(rngs, jnp.zeros((4, 256)), train=True)
+        v = jax.eval_shape(
+            lambda: m.init(rngs, jnp.zeros((4, 256)), train=True)
+        )
     else:
         m = build_discriminator(name)
-        v = m.init(rngs, jnp.zeros((4, 64, 64, 3)), train=True, update_sn=False)
+        v = jax.eval_shape(
+            lambda: m.init(rngs, jnp.zeros((4, 64, 64, 3)), train=True,
+                           update_sn=False)
+        )
     return param_count(dict(v)["params"])
 
 
