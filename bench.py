@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from gan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from gan_tpu.objectives import get_objective
     from gan_tpu.train import create_state, build_train_step
     from __graft_entry__ import _flagship

@@ -9,3 +9,8 @@ from gan_tpu.models.generators.g08 import (  # noqa: F401
     Generator8, Generator9, Generator10, Generator10_2, Generator11,
 )
 from gan_tpu.models.generators.g12 import Generator12  # noqa: F401
+from gan_tpu.models.generators.g13 import Generator13  # noqa: F401
+from gan_tpu.models.generators.g13_5 import Generator13_5  # noqa: F401
+from gan_tpu.models.generators.g13_1 import Generator13_1  # noqa: F401
+from gan_tpu.models.generators.g13_3 import Generator13_3, Generator13_4  # noqa: F401
+from gan_tpu.models.generators.g14 import Generator14  # noqa: F401

@@ -1,0 +1,351 @@
+"""G13_5 — the final thesis generator (planes=48, ~362M params).
+
+Reference: /root/reference/generators/generator_13_5.py:610-631.
+Deltas vs G13 (see diff generator_13.py..generator_13_5.py):
+- BatchNorm1d/2d interleaved through every SK/SE/mapping stack
+- StyleConv noise restored (per-channel scale ~ U(0.2,0.3)); the bias add
+  is DEAD CODE upstream (:263: `x + self.bias[...]` discarded) — reproduced
+  via dead_bias=True (param exists, receives zero grad); set
+  fix_styleconv_bias=True to repair
+- ResnetInit: additive stream fusion + PReLU (no SK attention inside)
+- BasicBlock: unify/shortcut are StyleBlocks (+PReLU); SE-gated residual
+  add (feas = x[:, :d] + r3[:, :d] * SEBlock(r3[:, :d])) replaces the
+  scale-parameter residual
+- ToRGB is style-free: EqualizedConv k5 + BatchNorm (:470-493)
+- Tree rgb accumulation is a plain add (:562)
+- 12-layer mapping network (:614)
+"""
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gan_tpu.models import core
+from gan_tpu.models import sk
+
+
+class SKStyleConv(nn.Module):
+    """generator_13_5.py:269-295."""
+
+    features: int
+    m: int
+    image_size: int
+    use_noise: bool
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x, w, train: bool = True):
+        feas = []
+        for i in range(self.m):
+            f = sk.StyleConv13(self.features, 3 + 2 * i,
+                               use_noise=self.use_noise, bn=True,
+                               dead_bias=self.dead_bias, dtype=self.dtype,
+                               name=f"conv_{i}")(x, w, train)
+            f = core.PReLU(channels=self.features, dtype=self.dtype,
+                           name=f"nonlinear_{i}")(f)
+            feas.append(f)
+        feas = jnp.stack(feas, axis=1)
+        att_cls = sk.SKAttentionConv if self.image_size > 4 else sk.SKAttentionFC
+        att = att_cls(self.m, style=sk.V13_5, dtype=self.dtype,
+                      name="sk_attention")(feas, train)
+        return sk.sk_fuse(feas, att)
+
+
+class SKConvPlain(nn.Module):
+    """Non-style SKConv (generator_13_5.py:173-202): m x [EqualizedConv
+    (3+2i) + BN + PReLU], SK fusion."""
+
+    features: int
+    m: int
+    image_size: int
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        feas = []
+        for i in range(self.m):
+            f = sk.EqualizedConvRep(self.features, 3 + 2 * i,
+                                    dtype=self.dtype, name=f"conv_{i}")(x)
+            f = core.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype, name=f"BatchNorm_{i}")(f)
+            f = core.PReLU(channels=self.features, dtype=self.dtype,
+                           name=f"nonlinear_{i}")(f)
+            feas.append(f)
+        feas = jnp.stack(feas, axis=1)
+        att_cls = sk.SKAttentionConv if self.image_size > 4 else sk.SKAttentionFC
+        att = att_cls(self.m, style=sk.V13_5, dtype=self.dtype,
+                      name="sk_attention")(feas, train)
+        return sk.sk_fuse(feas, att)
+
+
+class StyleBlock(nn.Module):
+    """generator_13_5.py:298-321: conv1 k1, noisy conv2/SKStyleConv, conv3
+    fixed k3, NO final activation."""
+
+    in_planes: int
+    out_planes: int
+    dense_depth: int
+    kernel_size: int
+    m: int
+    image_size: int
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x, w, train: bool = True):
+        ip, od = self.in_planes, self.out_planes + self.dense_depth
+        kw = dict(bn=True, dead_bias=self.dead_bias, dtype=self.dtype)
+        x = sk.StyleConv13(ip, 1, **kw, name="conv1")(x, w, train)
+        x = core.PReLU(channels=ip, dtype=self.dtype, name="activation1")(x)
+        if self.m == 1:
+            x = sk.StyleConv13(ip, self.kernel_size, use_noise=True, **kw,
+                               name="conv2")(x, w, train)
+            x = core.PReLU(channels=ip, dtype=self.dtype, name="activation2")(x)
+        else:
+            x = SKStyleConv(ip, self.m, self.image_size, use_noise=True,
+                            dead_bias=self.dead_bias, dtype=self.dtype,
+                            name="skconv")(x, w, train)
+        x = sk.StyleConv13(od, 3, **kw, name="conv3")(x, w, train)
+        return x
+
+
+class ResnetInit(nn.Module):
+    """generator_13_5.py:324-351: additive fusion + PReLU."""
+
+    in_planes: int
+    out_planes: int
+    dense_depth: int
+    kernel_size: int
+    m: int
+    image_size: int
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, xs, w, train: bool = True):
+        x_res, x_tra = xs
+        kw = dict(in_planes=self.in_planes, out_planes=self.out_planes,
+                  kernel_size=self.kernel_size, m=self.m,
+                  image_size=self.image_size, dead_bias=self.dead_bias,
+                  dtype=self.dtype)
+        r_r = StyleBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
+        r_t = StyleBlock(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
+        t_t = StyleBlock(dense_depth=0, name="transient", **kw)(x_tra, w, train)
+        t_r = StyleBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
+        od = self.out_planes + self.dense_depth
+        res = core.PReLU(channels=od, dtype=self.dtype,
+                         name="activation_residual")(r_r + t_r)
+        tra = core.PReLU(channels=self.out_planes, dtype=self.dtype,
+                         name="activation_transient")(r_t + t_t)
+        return res, tra
+
+
+class BasicBlock(nn.Module):
+    """generator_13_5.py:408-467."""
+
+    last_planes: int
+    in_planes: int
+    out_planes: int
+    dense_depth: int
+    m: int
+    image_size: int
+    root: bool = False
+    is_unify: bool = False
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    def get_out_planes(self) -> int:
+        if self.is_unify or self.root:
+            return 2 * self.out_planes + 2 * self.dense_depth
+        return self.last_planes + self.dense_depth
+
+    @nn.compact
+    def __call__(self, x, w, train: bool = True):
+        d = self.out_planes
+        dd = self.dense_depth
+        kw = dict(m=self.m, image_size=self.image_size,
+                  dead_bias=self.dead_bias, dtype=self.dtype)
+        if self.is_unify:
+            x = StyleBlock(self.in_planes, 2 * d, dd, 3, name="unify", **kw)(x, w, train)
+            x = core.PReLU(channels=2 * d + dd, dtype=self.dtype,
+                           name="activation_unify")(x)
+        x_res = jnp.concatenate([x[..., :d], x[..., 2 * d:]], axis=-1)
+        x_tra = x[..., d:]
+        r3, t3 = ResnetInit(self.in_planes, d, dd, 3, name="rir_3", **kw)((x_res, x_tra), w, train)
+        se_cls = sk.SEBlockConv if self.image_size > 4 else sk.SEBlockFC
+        gate = se_cls(style=sk.V13_5, dtype=self.dtype,
+                      name="se_attention_residual")(r3[..., :d], train)
+        feas_res = x[..., :d] + r3[..., :d] * gate
+        if self.root:
+            sc = StyleBlock(self.in_planes, 0, dd, 3, name="shortcut", **kw)(x, w, train)
+            sc = core.PReLU(channels=dd, dtype=self.dtype,
+                            name="activation_shortcut")(sc)
+            return jnp.concatenate([feas_res, t3, sc, r3[..., d:]], axis=-1)
+        return jnp.concatenate(
+            [feas_res, t3, x[..., 2 * d:], r3[..., d:]], axis=-1
+        )
+
+
+class ToRGB(nn.Module):
+    """Style-free ToRGB (generator_13_5.py:470-493): pre conv/SKConv with
+    BN, EqualizedConv k5 to 3 channels, BatchNorm(3)."""
+
+    m: int
+    image_size: int
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        planes = x.shape[-1]
+        if self.m == 1:
+            x = sk.EqualizedConvRep(planes, 3, dtype=self.dtype,
+                                    name="pre_conv")(x)
+            x = core.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype, name="pre_bn")(x)
+            x = core.PReLU(channels=planes, dtype=self.dtype,
+                           name="pre_activation")(x)
+        else:
+            x = SKConvPlain(planes, self.m, self.image_size,
+                            dtype=self.dtype, name="skconv")(x, train)
+        x = sk.EqualizedConvRep(3, 5, dtype=self.dtype, name="conv")(x)
+        return core.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                              name="bn")(x)
+
+
+class Tree(nn.Module):
+    """generator_13_5.py:496-564: rgb = to_rgb(root_out) + rgb."""
+
+    last_planes: int
+    in_planes: int
+    out_planes: int
+    dense_depth: int
+    level: int
+    block_num: int
+    m: int
+    image_size: int
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    def _block(self, last, root, unify, name):
+        ip = self.in_planes * self.block_num if root else self.in_planes
+        return BasicBlock(last, ip, self.out_planes, self.dense_depth,
+                          self.m, self.image_size, root=root, is_unify=unify,
+                          dead_bias=self.dead_bias, dtype=self.dtype,
+                          name=name)
+
+    def get_out_planes(self) -> int:
+        return 2 * self.out_planes + 2 * self.dense_depth
+
+    @nn.compact
+    def __call__(self, x, w, rgb, train: bool = True):
+        d = self.out_planes
+        last = self.last_planes
+        xs = []
+        if self.level > 1:
+            pr = self._block(last, False, last < 2 * d, "prev_root")
+            xs.append(pr(x, w, train))
+            for i in reversed(range(1, self.level)):
+                sub = Tree(last, self.in_planes, self.out_planes,
+                           self.dense_depth, level=i,
+                           block_num=self.block_num, m=self.m,
+                           image_size=self.image_size,
+                           dead_bias=self.dead_bias, dtype=self.dtype,
+                           name=f"level_{i}")
+                x, rgb = sub(x, w, rgb, train)
+                last = sub.get_out_planes()
+                xs.append(x)
+            for i in range(self.block_num):
+                b = self._block(last, False, False, f"block_{i}")
+                x = b(x, w, train)
+                last = b.get_out_planes()
+                xs.append(x[..., : 2 * d])
+        else:
+            b0 = self._block(last, False, last < 2 * d, "block_0")
+            x = b0(x, w, train)
+            last = b0.get_out_planes()
+            xs.append(x[..., : 2 * d])
+            for i in range(1, self.block_num):
+                b = self._block(last, False, False, f"block_{i}")
+                x = b(x, w, train)
+                last = b.get_out_planes()
+                xs.append(x[..., : 2 * d])
+        xs.append(x[..., 2 * d:])
+        cat = jnp.concatenate(xs, axis=-1)
+        out = self._block(cat.shape[-1], True, False, "root")(cat, w, train)
+        rgb_new = ToRGB(self.m, self.image_size, dtype=self.dtype,
+                        name="to_rgb")(out, train)
+        return out, rgb_new + rgb
+
+
+class GeneratorBlock(nn.Module):
+    """generator_13_5.py:567-583: BN-SKConvT upsampling of rgb + features,
+    then the tree."""
+
+    last_planes: int
+    in_planes: int
+    out_planes: int
+    dense_depth: int
+    level: int
+    block_num: int
+    m: int
+    image_size: int
+    dead_bias: bool = True
+    dtype: jnp.dtype = None
+
+    def get_out_planes(self) -> int:
+        return 2 * self.out_planes + 2 * self.dense_depth
+
+    @nn.compact
+    def __call__(self, x, w, rgb, train: bool = True):
+        rgb = sk.SKConvT(style=sk.V13_5, dtype=self.dtype,
+                         name="upsample_rgb")(rgb, train)
+        x = sk.SKConvT(style=sk.V13_5, dtype=self.dtype, name="upsample")(x, train)
+        return Tree(self.last_planes, self.in_planes, self.out_planes,
+                    self.dense_depth, self.level, self.block_num, self.m,
+                    self.image_size, dead_bias=self.dead_bias,
+                    dtype=self.dtype, name="tree")(x, w, rgb, train)
+
+
+class Generator13_5(nn.Module):
+    """generator_13_5.py:586-631 (planes=48, mapping 12 layers)."""
+
+    z_dim: int = 256
+    planes: int = 48
+    mapping_layers: int = 12
+    fix_styleconv_bias: bool = False  # True repairs the dead-bias bug
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, z, train: bool = True):
+        p = self.planes
+        dead = not self.fix_styleconv_bias
+        w = sk.Mapping13(self.mapping_layers, bn=True, dtype=self.dtype,
+                         name="mapping_network")(z, train)
+        # GeneratorStart (generator_13_5.py:586-607)
+        x = z.reshape(z.shape[0], 1, 1, -1)
+        x = core.ConvTranspose(p * 8, 4, 1, 0, dtype=self.dtype,
+                               name="start_convT")(x)
+        x = core.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="start_bn")(x)
+        x = core.PReLU(channels=p * 8, dtype=self.dtype,
+                       name="start_activation")(x)
+        rgb = ToRGB(1, 4, dtype=self.dtype, name="start_to_rgb")(x, train)
+        start_tree = Tree(p * 8, p * 8, p * 4, p // 8, level=1, block_num=2,
+                          m=1, image_size=4, dead_bias=dead, dtype=self.dtype,
+                          name="start_tree")
+        x, rgb = start_tree(x, w, rgb, train)
+        last = start_tree.get_out_planes()
+
+        stages = [
+            (p * 4, p * 4, 8),
+            (p * 2, p * 2, 16),
+            (p * 1, p * 1, 32),
+            (p * 1, p * 1, 64),
+        ]
+        for i, (ip, op, size) in enumerate(stages):
+            blk = GeneratorBlock(last, ip, op, p // 8, level=2, block_num=2,
+                                 m=2, image_size=size, dead_bias=dead,
+                                 dtype=self.dtype, name=f"block{i + 1}")
+            x, rgb = blk(x, w, rgb, train)
+            last = blk.get_out_planes()
+        return rgb

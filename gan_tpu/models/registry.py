@@ -24,6 +24,12 @@ from gan_tpu.models.generators import (
     Generator10_2,
     Generator11,
     Generator12,
+    Generator13,
+    Generator13_5,
+    Generator13_1,
+    Generator13_3,
+    Generator13_4,
+    Generator14,
 )
 from gan_tpu.models.discriminators import (
     Discriminator1,
@@ -53,6 +59,14 @@ GENERATORS: Dict[str, Callable] = {
     "G10_2": lambda z_dim=256, **kw: Generator10_2(z_dim=z_dim, **kw),
     "G11": lambda z_dim=256, **kw: Generator11(z_dim=z_dim, **kw),
     "G12": lambda z_dim=256, **kw: Generator12(z_dim=z_dim, **kw),
+    "G13": lambda z_dim=256, **kw: Generator13(z_dim=z_dim, **kw),
+    # generator_13_2.py is a byte-identical copy of generator_13.py
+    "G13_2": lambda z_dim=256, **kw: Generator13(z_dim=z_dim, **kw),
+    "G13_5": lambda z_dim=256, **kw: Generator13_5(z_dim=z_dim, **kw),
+    "G13_1": lambda z_dim=256, **kw: Generator13_1(z_dim=z_dim, **kw),
+    "G13_3": lambda z_dim=256, **kw: Generator13_3(z_dim=z_dim, **kw),
+    "G13_4": lambda z_dim=256, **kw: Generator13_4(z_dim=z_dim, **kw),
+    "G14": lambda z_dim=256, **kw: Generator14(z_dim=z_dim, **kw),
 }
 
 DISCRIMINATORS: Dict[str, Callable] = {

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from gan_tpu.data.augment import preprocess_batch
+from gan_tpu.utils.cache import enable_compilation_cache
 from gan_tpu.io.checkpoint import CheckpointManager
 from gan_tpu.io.images import save_image_grid
 from gan_tpu.io.records import Recorder
@@ -46,6 +47,7 @@ class Trainer:
         preprocess: bool = True,
         log_every: int = 50,
     ):
+        enable_compilation_cache()
         self.dataloader = dataloader
         self.num_epochs = num_epochs
         self.nz = nz

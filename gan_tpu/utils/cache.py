@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+The deep zoo models produce 100k+ HLO-op step graphs; compiles take tens of
+minutes (SURVEY.md SS7 hard part 4). The persistent cache makes that a
+one-time cost per (program, topology): later processes (benchmarks, resumed
+runs) load the compiled executable in seconds.
+"""
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str = None) -> str:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "GAN_TPU_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return cache_dir
