@@ -37,13 +37,15 @@ def _act(kind: str):
 
 
 class _Act(nn.Module):
-    kind: str
+    kind: str  # 'gelu' | 'prelu' | 'lrelu001'
     dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
         if self.kind == "prelu":
             return core.PReLU(dtype=self.dtype)(x)
+        if self.kind == "lrelu001":
+            return core.leaky_relu(x, 0.01)
         return jax.nn.gelu(x, approximate=False)
 
 
@@ -77,11 +79,13 @@ class _Conv(nn.Module):
 
 
 class _Norm(nn.Module):
-    kind: str  # 'bn' | 'pixnorm'
+    kind: str  # 'bn' | 'pixnorm' | 'none'
     dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.kind == "none":
+            return x
         if self.kind == "pixnorm":
             return core.PixNorm()(x)
         return core.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)

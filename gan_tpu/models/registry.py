@@ -37,6 +37,19 @@ from gan_tpu.models.discriminators import (
     Discriminator3WGANGP,
     Discriminator3WGANGPSN,
     Discriminator3ProGAN,
+    Discriminator4,
+    Discriminator5,
+    Discriminator5WGANGP,
+    Discriminator5WGANGPSN,
+    Discriminator6WGANGP,
+    Discriminator7WGANGP,
+    Discriminator7WGANGPSN,
+    Discriminator8,
+    Discriminator9,
+    Discriminator9_2,
+    Discriminator9_3,
+    Discriminator9_4,
+    Discriminator9Small,
 )
 
 GENERATORS: Dict[str, Callable] = {
@@ -81,6 +94,21 @@ DISCRIMINATORS: Dict[str, Callable] = {
     "D3_wgangp_progan": lambda ndf=64, nc=3, **kw: Discriminator3ProGAN(
         ndf=ndf, nc=nc, **kw
     ),
+    "D4": lambda **kw: Discriminator4(**kw),
+    "D5": lambda **kw: Discriminator5(**kw),
+    "D5_wgangp": lambda **kw: Discriminator5WGANGP(**kw),
+    "D5_wgangpsn": lambda **kw: Discriminator5WGANGPSN(**kw),
+    "D6_wgangp": lambda **kw: Discriminator6WGANGP(**kw),
+    "D7_wgangp": lambda **kw: Discriminator7WGANGP(**kw),
+    "D7_wgangpsn": lambda **kw: Discriminator7WGANGPSN(**kw),
+    "D8": lambda log_resolution=6, **kw: Discriminator8(
+        log_resolution=log_resolution, **kw
+    ),
+    "D9": lambda **kw: Discriminator9(**kw),
+    "D9_2": lambda **kw: Discriminator9_2(**kw),
+    "D9_3": lambda **kw: Discriminator9_3(**kw),
+    "D9_4": lambda **kw: Discriminator9_4(**kw),
+    "D9_small": lambda **kw: Discriminator9Small(**kw),
 }
 
 

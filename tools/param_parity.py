@@ -18,6 +18,13 @@ def load_ref_module(relpath: str, name: str):
     # make its root importable
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    # some reference files import torchsummary at module top; stub it
+    if "torchsummary" not in sys.modules:
+        import types
+
+        stub = types.ModuleType("torchsummary")
+        stub.summary = lambda *a, **k: None
+        sys.modules["torchsummary"] = stub
     spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
