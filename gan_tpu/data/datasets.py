@@ -34,20 +34,42 @@ class ImageFolderDataset:
     ToTensor->flip->resize order).
     """
 
-    def __init__(self, root: str, load_size: Optional[Tuple[int, int]] = (64, 64)):
-        from PIL import Image
-
+    def __init__(
+        self,
+        root: str,
+        load_size: Optional[Tuple[int, int]] = (64, 64),
+        use_native: bool = True,
+    ):
         paths = _list_images(root)
         if not paths:
             raise FileNotFoundError(f"no images under {root}")
-        imgs = []
-        for p in paths:
-            with Image.open(p) as im:
-                im = im.convert("RGB")
-                if load_size is not None and im.size != (load_size[1], load_size[0]):
-                    im = im.resize((load_size[1], load_size[0]), Image.BICUBIC)
-                imgs.append(np.asarray(im, dtype=np.uint8))
-        self.images = np.stack(imgs)  # (N, H, W, 3) uint8
+        h, w = load_size if load_size is not None else (64, 64)
+
+        from gan_tpu.data import native
+
+        if use_native and native.available():
+            # C++ decode + bicubic resize (native/loader.cpp); the resize
+            # matches the reference's tensor-path torch bicubic (no
+            # antialias), not PIL's antialiased resample.
+            imgs, ok = native.load_images(list(paths), h, w)
+            if not ok.all():
+                bad = [p for p, o in zip(paths, ok) if not o]
+                imgs = imgs[ok]
+                paths = [p for p, o in zip(paths, ok) if o]
+                if not paths:
+                    raise FileNotFoundError(f"no decodable images under {root}: {bad[:3]}")
+            self.images = imgs
+        else:
+            from PIL import Image
+
+            out = []
+            for p in paths:
+                with Image.open(p) as im:
+                    im = im.convert("RGB")
+                    if im.size != (w, h):
+                        im = im.resize((w, h), Image.BICUBIC)
+                    out.append(np.asarray(im, dtype=np.uint8))
+            self.images = np.stack(out)  # (N, H, W, 3) uint8
         self.paths = paths
 
     def __len__(self) -> int:

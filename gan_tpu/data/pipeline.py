@@ -38,9 +38,16 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(idx)
+        from gan_tpu.data import native
+
+        use_native = native.available()
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, stop, self.batch_size):
-            batch = self.images[idx[s : s + self.batch_size]]
+            sel = idx[s : s + self.batch_size]
+            if use_native:
+                batch = native.gather(self.images, sel)
+            else:
+                batch = self.images[sel]
             if self.sharding is not None:
                 yield jax.device_put(batch, self.sharding)
             else:

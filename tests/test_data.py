@@ -1,0 +1,80 @@
+"""Data pipeline tests: native loader parity, datasets, augmentation."""
+
+import numpy as np
+import pytest
+
+from gan_tpu.data import ImageFolderDataset, SyntheticDataset, DataLoader
+from gan_tpu.data import augment, native
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+    return str(d)
+
+
+def test_native_loader_available():
+    assert native.available(), "C++ loader failed to build"
+
+
+def test_native_decode_matches_pil_exact_size(image_dir):
+    ds_native = ImageFolderDataset(image_dir, use_native=True)
+    ds_pil = ImageFolderDataset(image_dir, use_native=False)
+    # at load size == stored size no resize happens: decode must be bitexact
+    np.testing.assert_array_equal(ds_native.images, ds_pil.images)
+
+
+def test_native_gather():
+    src = np.random.default_rng(1).integers(0, 256, (50, 4, 4, 3), np.uint8)
+    idx = np.array([3, 1, 4, 1, 5], np.int64)
+    np.testing.assert_array_equal(native.gather(src, idx), src[idx])
+
+
+def test_dataloader_epoch(image_dir):
+    ds = ImageFolderDataset(image_dir)
+    loader = DataLoader(ds, batch_size=4, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last: 10 // 4
+    assert batches[0].shape == (4, 64, 64, 3)
+    assert str(batches[0].dtype) == "uint8"
+
+
+def test_preprocess_batch_reference_semantics():
+    import jax
+    import jax.numpy as jnp
+
+    raw = jnp.asarray(
+        np.random.default_rng(2).integers(0, 256, (4, 64, 64, 3), np.uint8)
+    )
+    out = augment.preprocess_batch(jax.random.PRNGKey(0), raw)
+    assert out.shape == (4, 64, 64, 3)
+    assert out.dtype == jnp.float32
+    # normalize(x/255) with ImageNet stats: channel 0 range is
+    # (0-.485)/.229 .. (1-.485)/.229
+    assert float(out[..., 0].min()) >= (0 - 0.485) / 0.229 - 1e-4
+    assert float(out[..., 0].max()) <= (1 - 0.485) / 0.229 + 1e-4
+    # round trip
+    x01 = augment.denormalize(out)
+    assert float(x01.min()) >= -1e-4 and float(x01.max()) <= 1 + 1e-4
+
+
+def test_mixup_shapes():
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    a = jax.numpy.ones((6, 8, 8, 3))
+    b = jax.numpy.zeros((6, 8, 8, 3))
+    mixed, label, lam = augment.mixup(rng, a, b, alpha=1.0)
+    assert mixed.shape == a.shape and label.shape == (6, 1)
+    np.testing.assert_allclose(float(mixed[0, 0, 0, 0]), float(lam), rtol=1e-6)
+    mixed, label = augment.mixup_wgan(rng, a, b, alpha=1.0)
+    assert mixed.shape == a.shape and label.shape == (6, 1)
+    np.testing.assert_allclose(
+        np.asarray(mixed[:, 0, 0, 0]), np.asarray(label[:, 0]), rtol=1e-6
+    )
