@@ -29,7 +29,7 @@ def main():
     obj = get_objective("wganlazygpR2")
     g_tx, d_tx = obj.make_optimizers()
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     image_size = (64, 64, 3)
     rng = jax.random.PRNGKey(0)
     state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,

@@ -164,7 +164,11 @@ class SEBottleneck(nn.Module):
 
 class RiR(nn.Module):
     """ResNet-in-ResNet cross-wiring without shortcut (generator_6.py:41-64):
-    residual/transient streams, 4 SE bottlenecks, additive fusion."""
+    residual/transient streams, 4 SE bottlenecks, additive fusion.
+
+    fused=True (default) runs the two same-shape bottleneck pairs as
+    nn.vmap'd stacks (half the HLO ops; identical math, params and init
+    distributions — see g13_5.ResnetInit for the pattern rationale)."""
 
     in_planes: int
     out_planes: int
@@ -173,6 +177,7 @@ class RiR(nn.Module):
     act: str = "gelu"
     conv_equalized: bool = False
     norm: str = "bn"
+    fused: bool = True
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -183,10 +188,24 @@ class RiR(nn.Module):
             kernel_size=self.kernel_size, act=self.act,
             conv_equalized=self.conv_equalized, norm=self.norm, dtype=self.dtype,
         )
-        r_r = SEBottleneck(dense_depth=self.dense_depth, name="residual", **kw)(x_res, train)
-        r_t = SEBottleneck(dense_depth=0, name="residual_across", **kw)(x_res, train)
-        t_t = SEBottleneck(dense_depth=0, name="transient", **kw)(x_tra, train)
-        t_r = SEBottleneck(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, train)
+        if self.fused:
+            VBlock = nn.vmap(
+                SEBottleneck,
+                in_axes=(0, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )
+            pair = jnp.stack([x_res, x_tra])
+            ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(pair, train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, train)
+            r_r, t_r = ga[0], ga[1]
+            r_t, t_t = gb[0], gb[1]
+        else:
+            r_r = SEBottleneck(dense_depth=self.dense_depth, name="residual", **kw)(x_res, train)
+            r_t = SEBottleneck(dense_depth=0, name="residual_across", **kw)(x_res, train)
+            t_t = SEBottleneck(dense_depth=0, name="transient", **kw)(x_tra, train)
+            t_r = SEBottleneck(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, train)
         return r_r + t_r, r_t + t_t
 
 

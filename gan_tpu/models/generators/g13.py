@@ -106,15 +106,31 @@ class ResnetInit13(nn.Module):
     image_size: int
     dtype: jnp.dtype = None
 
+    fused: bool = True
+
     @nn.compact
     def __call__(self, xs, w, train: bool = True):
         x_res, x_tra = xs
         kw = dict(in_planes=self.in_planes, out_planes=self.out_planes,
                   kernel_size=self.kernel_size, m=self.m, dtype=self.dtype)
-        r_r = StyleBlock13(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
-        r_t = StyleBlock13(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
-        t_t = StyleBlock13(dense_depth=0, name="transient", **kw)(x_tra, w, train)
-        t_r = StyleBlock13(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
+        if self.fused:
+            VBlock = nn.vmap(
+                StyleBlock13,
+                in_axes=(0, None, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "noise": True},
+            )
+            pair = jnp.stack([x_res, x_tra])
+            ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(pair, w, train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, w, train)
+            r_r, t_r = ga[0], ga[1]
+            r_t, t_t = gb[0], gb[1]
+        else:
+            r_r = StyleBlock13(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
+            r_t = StyleBlock13(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
+            t_t = StyleBlock13(dense_depth=0, name="transient", **kw)(x_tra, w, train)
+            t_r = StyleBlock13(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
         att_cls = sk.SKAttentionConv if self.image_size > 4 else sk.SKAttentionFC
         feas_res = jnp.stack([r_r, t_r], axis=1)
         feas_tra = jnp.stack([r_t, t_t], axis=1)

@@ -110,7 +110,14 @@ class StyleBlock(nn.Module):
 
 
 class ResnetInit(nn.Module):
-    """generator_13_5.py:324-351: additive fusion + PReLU."""
+    """generator_13_5.py:324-351: additive fusion + PReLU.
+
+    TPU-first fusion (fused=True, default): the reference's four StyleBlocks
+    split into two groups of identical shape — {residual(x_res),
+    transient_across(x_tra)} emitting out+dd and {residual_across(x_res),
+    transient(x_tra)} emitting out. Each group runs as ONE nn.vmap'd
+    StyleBlock with stacked weights: half the HLO ops, same math, same
+    parameter count and init distributions (split_rngs)."""
 
     in_planes: int
     out_planes: int
@@ -119,6 +126,7 @@ class ResnetInit(nn.Module):
     m: int
     image_size: int
     dead_bias: bool = True
+    fused: bool = True
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -128,10 +136,25 @@ class ResnetInit(nn.Module):
                   kernel_size=self.kernel_size, m=self.m,
                   image_size=self.image_size, dead_bias=self.dead_bias,
                   dtype=self.dtype)
-        r_r = StyleBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
-        r_t = StyleBlock(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
-        t_t = StyleBlock(dense_depth=0, name="transient", **kw)(x_tra, w, train)
-        t_r = StyleBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
+        if self.fused:
+            VBlock = nn.vmap(
+                StyleBlock,
+                in_axes=(0, None, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "noise": True},
+            )
+            pair = jnp.stack([x_res, x_tra])
+            ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(
+                pair, w, train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, w, train)
+            r_r, t_r = ga[0], ga[1]
+            r_t, t_t = gb[0], gb[1]
+        else:
+            r_r = StyleBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
+            r_t = StyleBlock(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
+            t_t = StyleBlock(dense_depth=0, name="transient", **kw)(x_tra, w, train)
+            t_r = StyleBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
         od = self.out_planes + self.dense_depth
         res = core.PReLU(channels=od, dtype=self.dtype,
                          name="activation_residual")(r_r + t_r)

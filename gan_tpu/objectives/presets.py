@@ -45,6 +45,12 @@ class Objective:
     gp_center: float = 1.0
     lazy_interval: int = 1     # penalties every k steps, scaled by k
     weight_clip: Optional[float] = None
+    # mixup (units/mixup.py is dead code upstream — SURVEY C9 — but a named
+    # rebuild target). alpha > 0 adds a mixed real/fake term to the D loss
+    # with per-sample Beta soft labels (mixup_data_wgan, mixup.py:19-27):
+    # BCE objectives score D(mixed) against the soft label; Wasserstein
+    # objectives use the signed soft weight (2*label-1) on -D(mixed).
+    mixup_alpha: float = 0.0
     optimizer: str = "ttur_adam"  # 'ttur_adam' | 'adamw'
     spectral_norm: bool = False   # informational: expects an SN discriminator
     # artifact cadences (reference per-trainer values)

@@ -38,21 +38,42 @@ def create_state(
     d_tx,
     batch_size: int = 8,
     image_size=(64, 64, 3),
+    init_on_cpu: bool = True,
 ) -> GANTrainState:
-    """Initialize both networks and optimizers into one state pytree."""
-    kg, kd, kn = jax.random.split(rng, 3)
-    z = jnp.zeros((batch_size, g_model.z_dim), jnp.float32)
-    x = jnp.zeros((batch_size, *image_size), jnp.float32)
-    g_vars = g_model.init({"params": kg, "noise": kn}, z, train=True)
-    d_vars = d_model.init({"params": kd}, x, train=True, update_sn=False)
-    g_params, g_state = _split_vars(g_vars)
-    d_params, d_state = _split_vars(d_vars)
-    return GANTrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_params,
-        g_state=g_state,
-        d_params=d_params,
-        d_state=d_state,
-        g_opt=g_tx.init(g_params),
-        d_opt=d_tx.init(d_params),
-    )
+    """Initialize both networks and optimizers into one state pytree.
+
+    init_on_cpu: run the (eager) init on the host CPU backend and transfer
+    once. The deep zoo models have thousands of modules; eager per-op
+    dispatch to a remote accelerator during init takes tens of minutes,
+    while CPU eager init is seconds (SURVEY.md SS7 hard part 4).
+    """
+    import contextlib
+
+    cpu = None
+    if init_on_cpu and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        kg, kd, kn = jax.random.split(rng, 3)
+        z = jnp.zeros((batch_size, g_model.z_dim), jnp.float32)
+        x = jnp.zeros((batch_size, *image_size), jnp.float32)
+        g_vars = g_model.init({"params": kg, "noise": kn}, z, train=True)
+        d_vars = d_model.init({"params": kd}, x, train=True, update_sn=False)
+        g_params, g_state = _split_vars(g_vars)
+        d_params, d_state = _split_vars(d_vars)
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_state=g_state,
+            d_params=d_params,
+            d_state=d_state,
+            g_opt=g_tx.init(g_params),
+            d_opt=d_tx.init(d_params),
+        )
+    if cpu is not None:
+        state = jax.device_put(state, jax.devices()[0])
+        state = jax.block_until_ready(state)
+    return state

@@ -91,7 +91,7 @@ def build_train_step(
 
     def d_update(state: GANTrainState, batch, rng, apply_penalties: bool):
         b = batch.shape[0]
-        rng_z, rng_lbl_r, rng_lbl_f, rng_gp = jax.random.split(rng, 4)
+        rng_z, rng_lbl_r, rng_lbl_f, rng_gp, rng_mix = jax.random.split(rng, 5)
         # fresh fakes from current G, detached (torch no_grad forward,
         # wgangp.py:58-60); G stats not updated by this forward.
         z = jax.random.normal(rng_z, (b, z_dim), batch.dtype)
@@ -138,6 +138,21 @@ def build_train_step(
             else:
                 fake_loss = L.d_fake_loss_wass(pred_f)
 
+            # ---- mixup (see Objective.mixup_alpha) ----
+            if obj.mixup_alpha > 0:
+                from gan_tpu.data.augment import mixup_wgan
+
+                mixed, label = mixup_wgan(rng_mix, batch, fake, obj.mixup_alpha)
+                pred_m, d_state = d_forward(d_params, d_state, mixed, update=False)
+                if obj.loss == "bce":
+                    mix_loss = L.bce(pred_m, label.astype(pred_m.dtype))
+                else:
+                    w_signed = (2.0 * label - 1.0).astype(pred_m.dtype)
+                    mix_loss = jnp.mean(w_signed * (-pred_m))
+                metrics["mixup"] = mix_loss
+            else:
+                mix_loss = jnp.zeros((), batch.dtype)
+
             # ---- gradient penalty ----
             if apply_penalties and obj.gp > 0:
                 d_pure = lambda x: d_forward(d_params, d_state, x, update=False)[0]
@@ -147,7 +162,7 @@ def build_train_step(
             else:
                 gp_term = jnp.zeros((), batch.dtype)
 
-            loss = real_loss + fake_loss + r1_term + r2_term + gp_term
+            loss = real_loss + fake_loss + r1_term + r2_term + gp_term + mix_loss
             metrics.update(
                 real_loss=real_loss,
                 fake_loss=fake_loss,
