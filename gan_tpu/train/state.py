@@ -42,29 +42,44 @@ def create_state(
 ) -> GANTrainState:
     """Initialize both networks and optimizers into one state pytree.
 
-    init_on_cpu: run the (eager) init on the host CPU backend and transfer
-    once. The deep zoo models have thousands of modules; eager per-op
-    dispatch to a remote accelerator during init takes tens of minutes,
-    while CPU eager init is seconds (SURVEY.md SS7 hard part 4).
+    init_on_cpu: when the default backend is an accelerator, run the model
+    init in a fresh JAX_PLATFORMS=cpu subprocess (plain CPU plugin) and
+    transfer once. Under the axon TPU platform both eager dispatch and XLA
+    compiles route through a slow per-op AOT relay — a deep zoo model's
+    init takes 20-60 minutes in-process either way, vs seconds of plain
+    CPU eager in a clean process (SURVEY.md SS7 hard part 4).
     """
-    import contextlib
-
-    cpu = None
     if init_on_cpu and jax.default_backend() != "cpu":
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
-        kg, kd, kn = jax.random.split(rng, 3)
+        vars_ = _init_in_subprocess(g_model, d_model, rng, batch_size, image_size)
+        if vars_ is not None:
+            g_params, g_state = _split_vars(vars_["g"])
+            d_params, d_state = _split_vars(vars_["d"])
+            dev = jax.devices()[0]
+            g_params = jax.device_put(g_params, dev)
+            d_params = jax.device_put(d_params, dev)
+            g_state = jax.device_put(g_state, dev)
+            d_state = jax.device_put(d_state, dev)
+            opt_init = jax.jit(lambda gp, dp: (g_tx.init(gp), d_tx.init(dp)))
+            g_opt, d_opt = opt_init(g_params, d_params)
+            return GANTrainState(
+                step=jnp.zeros((), jnp.int32),
+                g_params=g_params,
+                g_state=g_state,
+                d_params=d_params,
+                d_state=d_state,
+                g_opt=g_opt,
+                d_opt=d_opt,
+            )
+
+    def build(rng_):
+        kg, kd, kn = jax.random.split(rng_, 3)
         z = jnp.zeros((batch_size, g_model.z_dim), jnp.float32)
         x = jnp.zeros((batch_size, *image_size), jnp.float32)
         g_vars = g_model.init({"params": kg, "noise": kn}, z, train=True)
         d_vars = d_model.init({"params": kd}, x, train=True, update_sn=False)
         g_params, g_state = _split_vars(g_vars)
         d_params, d_state = _split_vars(d_vars)
-        state = GANTrainState(
+        return GANTrainState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params,
             g_state=g_state,
@@ -73,7 +88,88 @@ def create_state(
             g_opt=g_tx.init(g_params),
             d_opt=d_tx.init(d_params),
         )
-    if cpu is not None:
-        state = jax.device_put(state, jax.devices()[0])
-        state = jax.block_until_ready(state)
-    return state
+
+    return jax.block_until_ready(jax.jit(build)(rng))
+
+
+def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
+    """Model init in a JAX_PLATFORMS=cpu subprocess (see _init_worker.py).
+    Returns {"g": vars, "d": vars} as numpy pytrees, or None on failure
+    (caller falls back to in-process jitted init)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    import flax.serialization
+    import numpy as np
+
+    try:
+        # fold the key into a scalar seed for the worker; init
+        # distributions are identical, exact cross-path key equality is
+        # not required (and documented)
+        try:
+            key_arr = np.asarray(jax.random.key_data(rng))
+        except TypeError:
+            key_arr = np.asarray(rng)
+        seed = int(key_arr.reshape(-1)[-1])
+        spec = pickle.dumps(
+            (g_model, d_model, seed, batch_size, tuple(image_size))
+        )
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+
+        # disk cache of the serialized init, keyed on the full model spec
+        import hashlib
+
+        cache_dir = os.environ.get(
+            "GAN_TPU_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_file = os.path.join(
+            cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
+
+        if os.path.exists(cache_file):
+            with open(cache_file, "rb") as f:
+                blob = f.read()
+        else:
+            with tempfile.TemporaryDirectory() as td:
+                payload = os.path.join(td, "payload.pkl")
+                out = os.path.join(td, "vars.msgpack")
+                with open(payload, "wb") as f:
+                    f.write(spec)
+                env = dict(os.environ)
+                env["JAX_PLATFORMS"] = "cpu"
+                # strip the axon compile-relay hooks: inherited, they route
+                # even pure-CPU eager ops through per-op remote AOT compiles
+                for k in list(env):
+                    if "AXON" in k or k.startswith("PALLAS_"):
+                        env.pop(k)
+                env["PYTHONPATH"] = repo  # drop .axon_site sitecustomize
+                worker = os.path.join(repo, "gan_tpu", "train",
+                                      "_init_worker.py")
+                res = subprocess.run(
+                    [sys.executable, worker, payload, out],
+                    env=env, capture_output=True, timeout=3600,
+                )
+                if res.returncode != 0:
+                    return None
+                with open(out, "rb") as f:
+                    blob = f.read()
+            tmp = cache_file + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, cache_file)
+        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+        template = jax.eval_shape(
+            lambda: {
+                "g": dict(g_model.init(
+                    rngs, jnp.zeros((batch_size, g_model.z_dim)), train=True)),
+                "d": dict(d_model.init(
+                    rngs, jnp.zeros((batch_size, *image_size)), train=True,
+                    update_sn=False)),
+            }
+        )
+        return flax.serialization.from_bytes(template, blob)
+    except Exception:
+        return None

@@ -91,11 +91,14 @@ def build_train_step(
 
     def d_update(state: GANTrainState, batch, rng, apply_penalties: bool):
         b = batch.shape[0]
-        rng_z, rng_lbl_r, rng_lbl_f, rng_gp, rng_mix = jax.random.split(rng, 5)
+        rng_z, rng_lbl_r, rng_lbl_f, rng_gp, rng_mix, rng_noise = (
+            jax.random.split(rng, 6)
+        )
         # fresh fakes from current G, detached (torch no_grad forward,
         # wgangp.py:58-60); G stats not updated by this forward.
         z = jax.random.normal(rng_z, (b, z_dim), batch.dtype)
-        fake, _ = g_forward(state.g_params, state.g_state, z, rng_z, mutable=False)
+        fake, _ = g_forward(state.g_params, state.g_state, z, rng_noise,
+                            mutable=False)
         fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(d_params):
@@ -221,7 +224,19 @@ def build_train_step(
             jit_kwargs["in_shardings"] = in_shardings
         if out_shardings is not None:
             jit_kwargs["out_shardings"] = out_shardings
-        step_pen = jax.jit(step_pen, donate_argnums=0, **jit_kwargs)
+        from gan_tpu.utils.cache import fast_compile_options
+
+        opts = fast_compile_options()
+        if opts:
+            try:
+                step_try = jax.jit(step_pen, donate_argnums=0,
+                                   compiler_options=opts, **jit_kwargs)
+                jit_kwargs["compiler_options"] = opts
+                step_pen = step_try
+            except Exception:
+                step_pen = jax.jit(step_pen, donate_argnums=0, **jit_kwargs)
+        else:
+            step_pen = jax.jit(step_pen, donate_argnums=0, **jit_kwargs)
         step_nopen = (
             jax.jit(step_nopen, donate_argnums=0, **jit_kwargs)
             if obj.lazy_interval > 1

@@ -26,3 +26,19 @@ def enable_compilation_cache(cache_dir: str = None) -> str:
     except Exception:
         pass
     return cache_dir
+
+
+def fast_compile_options() -> dict:
+    """Compiler options biasing XLA toward compile speed for the deep zoo
+    models' 100k-op step graphs (single-core compile host). Gated by
+    GAN_TPU_FAST_COMPILE (default on); disable for maximum-quality codegen.
+    """
+    if os.environ.get("GAN_TPU_FAST_COMPILE", "1") != "1":
+        return {}
+    # names validated against this environment's PJRT: bare (unprefixed)
+    # effort fields are accepted; xla_/xla_tpu_-prefixed variants crash the
+    # compile helper
+    return {
+        "exec_time_optimization_effort": -1.0,
+        "memory_fitting_effort": -1.0,
+    }
