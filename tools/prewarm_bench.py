@@ -15,9 +15,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     os.environ.setdefault("BENCH_STEPS", "2")
+    os.environ["BENCH_FORCE_FLAGSHIP"] = "1"
     import bench
 
     bench.main()
+    # success -> leave the warm marker so bench.py picks the flagship
+    cache_dir = os.environ.get(
+        "GAN_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    bs = os.environ.get("BENCH_BATCH", "16")
+    open(os.path.join(cache_dir, f"BENCH_WARM_b{bs}"), "w").write("ok")
 
 
 if __name__ == "__main__":
