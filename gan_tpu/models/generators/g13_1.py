@@ -116,15 +116,31 @@ class ResnetInit131(nn.Module):
     kernel_size: int
     dtype: jnp.dtype = None
 
+    fused: bool = True
+
     @nn.compact
     def __call__(self, xs, w, train: bool = True):
         x_res, x_tra = xs
         kw = dict(in_planes=self.in_planes, out_planes=self.out_planes,
                   kernel_size=self.kernel_size, dtype=self.dtype)
-        r_r = SEStyleBlock131(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
-        r_t = SEStyleBlock131(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
-        t_t = SEStyleBlock131(dense_depth=0, name="transient", **kw)(x_tra, w, train)
-        t_r = SEStyleBlock131(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
+        if self.fused:
+            VBlock = nn.vmap(
+                SEStyleBlock131,
+                in_axes=(0, None, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "noise": True},
+            )
+            pair = jnp.stack([x_res, x_tra])
+            ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(pair, w, train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, w, train)
+            r_r, t_r = ga[0], ga[1]
+            r_t, t_t = gb[0], gb[1]
+        else:
+            r_r = SEStyleBlock131(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
+            r_t = SEStyleBlock131(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
+            t_t = SEStyleBlock131(dense_depth=0, name="transient", **kw)(x_tra, w, train)
+            t_r = SEStyleBlock131(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
         od = self.out_planes + self.dense_depth
         res = core.PReLU(channels=od, dtype=self.dtype,
                          name="activation_residual")(r_r + t_r)

@@ -93,6 +93,8 @@ class ResnetInit133(nn.Module):
     style: sk.SKStyle = sk.V13_3
     dtype: jnp.dtype = None
 
+    fused: bool = True
+
     @nn.compact
     def __call__(self, xs, train: bool = True):
         x_res, x_tra = xs
@@ -100,10 +102,24 @@ class ResnetInit133(nn.Module):
                   kernel_size=self.kernel_size, m=self.m,
                   image_size=self.image_size, style=self.style,
                   dtype=self.dtype)
-        r_r = PlainBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, train)
-        r_t = PlainBlock(dense_depth=0, name="residual_across", **kw)(x_res, train)
-        t_t = PlainBlock(dense_depth=0, name="transient", **kw)(x_tra, train)
-        t_r = PlainBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, train)
+        if self.fused:
+            VBlock = nn.vmap(
+                PlainBlock,
+                in_axes=(0, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )
+            pair = jnp.stack([x_res, x_tra])
+            ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(pair, train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, train)
+            r_r, t_r = ga[0], ga[1]
+            r_t, t_t = gb[0], gb[1]
+        else:
+            r_r = PlainBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, train)
+            r_t = PlainBlock(dense_depth=0, name="residual_across", **kw)(x_res, train)
+            t_t = PlainBlock(dense_depth=0, name="transient", **kw)(x_tra, train)
+            t_r = PlainBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, train)
         att_cls = sk.SKAttentionConv if self.image_size > 4 else sk.SKAttentionFC
         feas_res = jnp.stack([r_r, t_r], axis=1)
         feas_tra = jnp.stack([r_t, t_t], axis=1)

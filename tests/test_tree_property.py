@@ -36,7 +36,7 @@ def test_dpn_tree_channel_math(last_planes, out_planes, dense_depth, level, bloc
               block_num=block_num)
     out = jax.eval_shape(
         lambda: t.init_with_output(
-            RNGS, jnp.zeros((2, 8, 8, last_planes)), train=True)
+            RNGS, jnp.zeros((2, 8, 8, last_planes)))
     )[0]
     assert out.shape[-1] == t.get_out_planes()
 
@@ -47,6 +47,6 @@ def test_g4_tree_width(in_planes, planes, level):
     t = Tree4(in_planes, planes, level=level, block_num=3)
     out = jax.eval_shape(
         lambda: t.init_with_output(
-            RNGS, jnp.zeros((2, 8, 8, in_planes)), train=True)
+            RNGS, jnp.zeros((2, 8, 8, in_planes)))
     )[0]
     assert out.shape[-1] == planes  # G4 trees emit `planes` channels
