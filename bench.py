@@ -49,7 +49,9 @@ def main():
         g = build_generator(g_name)
         d = build_discriminator(d_name)
     obj = get_objective("wganlazygpR2")
-    g_tx, d_tx = obj.make_optimizers()
+    # flat optimizer OOMs XLA layout-padding at flagship scale (see
+    # Objective.make_optimizers docstring)
+    g_tx, d_tx = obj.make_optimizers(flat=not use_flagship)
     image_size = (64, 64, 3)
     rng = jax.random.PRNGKey(0)
     state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,

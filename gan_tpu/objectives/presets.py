@@ -63,14 +63,21 @@ class Objective:
     def needs_penalty_branch(self) -> bool:
         return (self.r1 > 0) or (self.r2 > 0) or (self.gp > 0)
 
-    def make_optimizers(self, g_lr=1e-4, d_lr=4e-4, flat: bool = True):
+    def make_optimizers(self, g_lr=1e-4, d_lr=4e-4, flat=None):
         """Returns (g_tx, d_tx) matching the reference optimizer setup.
 
         flat=True wraps both in the flat-vector adapter
         (gan_tpu.train.flat_opt) — mathematically identical for these
         elementwise optimizers, but one fused update instead of
-        thousands of per-leaf ops.
+        thousands of per-leaf ops. Default: env GAN_TPU_FLAT_OPT (on).
+        CAUTION: at >100M params XLA gives the unravel split a padded
+        (N/3, 3)-tiled layout that OOMs HBM at compile time — disable for
+        the largest models (bench does this for the flagship).
         """
+        if flat is None:
+            import os
+
+            flat = os.environ.get("GAN_TPU_FLAT_OPT", "1") == "1"
         if self.optimizer == "adamw":
             g_tx = optax.adamw(g_lr, b1=0.5, b2=0.999, eps=1e-8, weight_decay=0.01)
             d_tx = optax.adamw(d_lr, b1=0.5, b2=0.999, eps=1e-8, weight_decay=0.01)
