@@ -257,12 +257,16 @@ class _D9Block(nn.Module):
 
 class _D9Base(nn.Module):
     variant: _D9Variant = _D9Variant()
+    remat: bool = True  # per-block remat: full-size D9_4 activations under
+    # the GP double-backward exceed HBM otherwise
     dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, update_sn: bool = True):
         v = self.variant
         f = v.features
+        blk_cls = (nn.remat(_D9Block, static_argnums=(2,))
+                   if self.remat else _D9Block)
         x = _EqConv9(f, 3, padding=1, dtype=self.dtype, name="from_rgb")(x)
         if v.act == "prelu":
             x = core.PReLU(channels=f, dtype=self.dtype, name="pre_act")(x)
@@ -276,14 +280,14 @@ class _D9Base(nn.Module):
                 ai += 1
             else:
                 mult, ds, size = item
-                x = _D9Block(f * mult, ds, size, v, dtype=self.dtype,
-                             name=f"block_{bi}")(x, train)
+                x = blk_cls(f * mult, ds, size, v, dtype=self.dtype,
+                            name=f"block_{bi}")(x, train)
                 bi += 1
         x = core.minibatch_stddev(x, group_size=4)
         c = f * 16 + 1
         for ds, size in v.tail:
-            x = _D9Block(c, ds, size, v, dtype=self.dtype,
-                         name=f"block_{bi}")(x, train)
+            x = blk_cls(c, ds, size, v, dtype=self.dtype,
+                        name=f"block_{bi}")(x, train)
             bi += 1
         x = x.reshape(x.shape[0], -1)
         x = _EqLinear9(2 * 2 * c, dtype=self.dtype, name="fc1")(x)

@@ -336,6 +336,8 @@ class Generator13_5(nn.Module):
     planes: int = 48
     mapping_layers: int = 12
     fix_styleconv_bias: bool = False  # True repairs the dead-bias bug
+    remat: bool = True  # block-level rematerialization: the full model's
+    # activations (incl. the GP double-backward) exceed 16GB HBM otherwise
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -353,11 +355,16 @@ class Generator13_5(nn.Module):
         x = core.PReLU(channels=p * 8, dtype=self.dtype,
                        name="start_activation")(x)
         rgb = ToRGB(1, 4, dtype=self.dtype, name="start_to_rgb")(x, train)
-        start_tree = Tree(p * 8, p * 8, p * 4, p // 8, level=1, block_num=2,
-                          m=1, image_size=4, dead_bias=dead, dtype=self.dtype,
-                          name="start_tree")
+        # static_argnums index includes self at 0: train sits at 4 in
+        # __call__(self, x, w, rgb, train)
+        tree_cls = nn.remat(Tree, static_argnums=(4,)) if self.remat else Tree
+        blk_cls = (nn.remat(GeneratorBlock, static_argnums=(4,))
+                   if self.remat else GeneratorBlock)
+        start_tree = tree_cls(p * 8, p * 8, p * 4, p // 8, level=1,
+                              block_num=2, m=1, image_size=4, dead_bias=dead,
+                              dtype=self.dtype, name="start_tree")
         x, rgb = start_tree(x, w, rgb, train)
-        last = start_tree.get_out_planes()
+        last = 2 * (p * 4) + 2 * (p // 8)
 
         stages = [
             (p * 4, p * 4, 8),
@@ -366,9 +373,9 @@ class Generator13_5(nn.Module):
             (p * 1, p * 1, 64),
         ]
         for i, (ip, op, size) in enumerate(stages):
-            blk = GeneratorBlock(last, ip, op, p // 8, level=2, block_num=2,
-                                 m=2, image_size=size, dead_bias=dead,
-                                 dtype=self.dtype, name=f"block{i + 1}")
+            blk = blk_cls(last, ip, op, p // 8, level=2, block_num=2,
+                          m=2, image_size=size, dead_bias=dead,
+                          dtype=self.dtype, name=f"block{i + 1}")
             x, rgb = blk(x, w, rgb, train)
-            last = blk.get_out_planes()
+            last = 2 * op + 2 * (p // 8)
         return rgb
