@@ -171,6 +171,21 @@ class _FCSub(nn.Module):
         return z
 
 
+def _fc_subs(m: int, style: "SKStyle", dtype):
+    """The m per-branch SK heads consume the same z with identical shapes:
+    run them as ONE nn.vmap'd stacked-weight module (m x fewer HLO ops;
+    same params/init via split_rngs). Returns (B, M, C)."""
+    V = nn.vmap(
+        _FCSub,
+        in_axes=(None, None),
+        out_axes=1,
+        axis_size=m,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+    )
+    return V(style=style, dtype=dtype, name="fc_subs")
+
+
 class SKAttentionConv(nn.Module):
     """SK attention with a 5x5-pooled conv trunk (generator_13.py:73-115 /
     generator_13_5.py:41-89). Input feas: (B, M, H, W, C); returns softmax
@@ -196,11 +211,7 @@ class SKAttentionConv(nn.Module):
             x = core.PReLU(channels=c, dtype=self.dtype)(x)
         z = adaptive_avg_pool(x, 1).reshape(b, c)
         z = Mapping13(st.att_fc_depth, bn=st.bn, dtype=self.dtype)(z, train)
-        vecs = [
-            _FCSub(style=st, dtype=self.dtype, name=f"fc_sub_{i}")(z, train)
-            for i in range(self.m)
-        ]
-        att = jnp.stack(vecs, axis=1)  # (B, M, C)
+        att = _fc_subs(self.m, st, self.dtype)(z, train)  # (B, M, C)
         att = jax.nn.softmax(att, axis=1)
         return att[:, :, None, None, :]
 
@@ -221,11 +232,7 @@ class SKAttentionFC(nn.Module):
         fea_u = jnp.sum(feas, axis=1)
         z = adaptive_avg_pool(fea_u, 1).reshape(b, c)
         z = Mapping13(st.attfc_fc_depth, bn=st.bn, dtype=self.dtype)(z, train)
-        vecs = [
-            _FCSub(style=st, dtype=self.dtype, name=f"fc_sub_{i}")(z, train)
-            for i in range(self.m)
-        ]
-        att = jnp.stack(vecs, axis=1)
+        att = _fc_subs(self.m, st, self.dtype)(z, train)
         att = jax.nn.softmax(att, axis=1)
         return att[:, :, None, None, :]
 
