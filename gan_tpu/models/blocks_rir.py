@@ -114,9 +114,9 @@ class SelfAttention(nn.Module):
         f = conv(e, "key")(x).reshape(b, n, e)
         g = conv(e, "query")(x).reshape(b, n, e)
         hx = conv(e, "value")(x).reshape(b, n, e)
-        s = jnp.einsum("bie,bje->bij", f, g)  # i = key idx, j = query idx
-        beta = jax.nn.softmax(s, axis=1)      # reference: softmax over dim=1
-        v = jnp.einsum("bie,bij->bje", hx, beta).reshape(b, h, w, e)
+        from gan_tpu.ops import attention_core
+
+        v = attention_core(f, g, hx).reshape(b, h, w, e)
         o = conv(c, "self_att")(v)
         lo, hi = self.gamma_init
         gamma = self.param(

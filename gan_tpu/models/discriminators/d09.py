@@ -108,9 +108,12 @@ class _SelfAttention9(nn.Module):
         f = _EqConv9(c, 1, dtype=self.dtype, name="query")(x).reshape(b, n, c)
         g = _EqConv9(c, 1, dtype=self.dtype, name="key")(x).reshape(b, n, c)
         hx = _EqConv9(c, 1, dtype=self.dtype, name="value")(x).reshape(b, n, c)
-        s = jnp.einsum("bie,bje->bij", f, g)
-        beta = jax.nn.softmax(s, axis=1)
-        v = jnp.einsum("bie,bij->bje", hx, beta).reshape(b, h, w, c)
+        from gan_tpu.ops import attention_core
+
+        # D9-family attention sits under the R1/GP grad-of-grad objectives;
+        # attention_core's pallas impl is first-order only, so the
+        # discriminator pins the einsum path (any-order autodiff).
+        v = attention_core(f, g, hx, impl="einsum").reshape(b, h, w, c)
         o = _EqConv9(c, 1, dtype=self.dtype, name="self_att")(v)
         gamma = _SEBlock9(c, dtype=self.dtype, name="gamma")(o)
         return gamma * o + x

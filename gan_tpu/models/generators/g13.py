@@ -83,9 +83,9 @@ class SelfAttention13(nn.Module):
         f = sk.EqualizedConvRep(c, 3, dtype=self.dtype, name="query")(x).reshape(b, n, c)
         g = sk.EqualizedConvRep(c, 3, dtype=self.dtype, name="key")(x).reshape(b, n, c)
         hx = sk.EqualizedConvRep(c, 3, dtype=self.dtype, name="value")(x).reshape(b, n, c)
-        s = jnp.einsum("bie,bje->bij", f, g)
-        beta = jax.nn.softmax(s, axis=1)
-        v = jnp.einsum("bie,bij->bje", hx, beta).reshape(b, h, wd, c)
+        from gan_tpu.ops import attention_core
+
+        v = attention_core(f, g, hx).reshape(b, h, wd, c)
         o = sk.EqualizedConvRep(c, 3, dtype=self.dtype, name="self_att")(v)
         if self.image_size > 4:
             gamma = sk.SEBlockConv(dtype=self.dtype, name="gamma")(o, train)

@@ -47,9 +47,9 @@ class SelfAttention131(nn.Module):
         f = _style_conv(e, 1, self.dtype, "key")(x, w, train).reshape(b, n, e)
         g = _style_conv(e, 1, self.dtype, "query")(x, w, train).reshape(b, n, e)
         hx = _style_conv(e, 1, self.dtype, "value")(x, w, train).reshape(b, n, e)
-        s = jnp.einsum("bie,bje->bij", f, g)
-        beta = jax.nn.softmax(s, axis=1)
-        v = jnp.einsum("bie,bij->bje", hx, beta).reshape(b, h, wd, e)
+        from gan_tpu.ops import attention_core
+
+        v = attention_core(f, g, hx).reshape(b, h, wd, e)
         o = _style_conv(c, 1, self.dtype, "self_att")(v, w, train)
         gamma = self.param("gamma", core.uniform_init(0.7, 0.8), (c,))
         return gamma.astype(x.dtype) * o + x

@@ -135,9 +135,9 @@ class StyleSelfAttention(nn.Module):
         f = StyleConv(e, 1, dtype=self.dtype, name="key")(x, w).reshape(b, n, e)
         g = StyleConv(e, 1, dtype=self.dtype, name="query")(x, w).reshape(b, n, e)
         hx = StyleConv(e, 1, dtype=self.dtype, name="value")(x, w).reshape(b, n, e)
-        s = jnp.einsum("bie,bje->bij", f, g)
-        beta = jax.nn.softmax(s, axis=1)
-        v = jnp.einsum("bie,bij->bje", hx, beta).reshape(b, h, wd, e)
+        from gan_tpu.ops import attention_core
+
+        v = attention_core(f, g, hx).reshape(b, h, wd, e)
         o = StyleConv(c, 1, dtype=self.dtype, name="self_att")(v, w)
         gamma = self.param("gamma", core.uniform_init(*self.gamma_init), (1,))
         return gamma.astype(x.dtype) * o + x
