@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 
 def main():
+    # Testability on a busy/absent TPU: BENCH_PLATFORM=cpu forces the CPU
+    # backend in-process (shell-level JAX_PLATFORMS is ignored under the
+    # pinned axon platform).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     from gan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -36,18 +41,36 @@ def main():
         "GAN_TPU_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
-    marker = os.path.join(cache_dir, f"BENCH_WARM_b{batch_size}")
+
+    # compute dtype: BENCH_DTYPE=bf16|f32, or "auto" = fastest prewarmed
+    # variant (bf16 trains within ~1% of the f32 loss trajectory with f32
+    # params/optimizer; penalties/metrics come back finite — see
+    # docs/STATUS.md). Markers encode the dtype.
+    def _marker(dt):
+        sfx = "" if dt == "f32" else f"_{dt}"
+        return os.path.join(cache_dir, f"BENCH_WARM_b{batch_size}{sfx}")
+
+    req_dtype = os.environ.get("BENCH_DTYPE", "auto")
+    if req_dtype == "auto":
+        dtype_name = next(
+            (dt for dt in ("bf16", "f32") if os.path.exists(_marker(dt))), "f32"
+        )
+    else:
+        dtype_name = req_dtype
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    marker = _marker(dtype_name)
+
     use_flagship = (
         os.environ.get("BENCH_FORCE_FLAGSHIP") == "1" or os.path.exists(marker)
     )
     if use_flagship:
-        g, d, g_name, d_name = _flagship(tiny=False)
+        g, d, g_name, d_name = _flagship(tiny=False, dtype=dtype)
     else:
         from gan_tpu.models import build_generator, build_discriminator
 
         g_name, d_name = "G2", "D3_wgangp"
-        g = build_generator(g_name)
-        d = build_discriminator(d_name)
+        g = build_generator(g_name, dtype=dtype)
+        d = build_discriminator(d_name, dtype=dtype)
     obj = get_objective("wganlazygpR2")
     # flat optimizer OOMs XLA layout-padding at flagship scale (see
     # Objective.make_optimizers docstring)
@@ -84,7 +107,8 @@ def main():
     vs = ips / baseline if baseline > 0 else 0.0
 
     print(json.dumps({
-        "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2, batch {batch_size})",
+        "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2, "
+                  f"batch {batch_size}, {dtype_name})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),

@@ -26,7 +26,9 @@ def main():
                      ".jax_cache"),
     )
     bs = os.environ.get("BENCH_BATCH", "16")
-    open(os.path.join(cache_dir, f"BENCH_WARM_b{bs}"), "w").write("ok")
+    dt = os.environ.get("BENCH_DTYPE", "f32")
+    sfx = "" if dt in ("f32", "auto") else f"_{dt}"
+    open(os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}"), "w").write("ok")
 
 
 if __name__ == "__main__":
