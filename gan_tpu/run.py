@@ -30,6 +30,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-n", type=int, default=2048,
                    help="synthetic dataset size when no dataroot")
     p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                   help="model compute dtype (params/optimizer stay f32)")
+    p.add_argument("--attn-impl", choices=["einsum", "pallas"], default=None,
+                   help="spatial-attention core impl (gan_tpu.ops.attention);"
+                        " pallas = fused flash kernel, generator side only"
+                        " (discriminators pin einsum for grad-of-grad)")
     return p.parse_args(argv)
 
 
@@ -54,6 +60,11 @@ def main(argv=None):
             overrides[field] = arg
     cfg = dataclasses.replace(cfg, **overrides)
 
+    if args.attn_impl:
+        import os
+
+        os.environ["GAN_TPU_ATTN_IMPL"] = args.attn_impl
+
     from gan_tpu.data import DataLoader, ImageFolderDataset, SyntheticDataset
     from gan_tpu.models import build_generator, build_discriminator
     from gan_tpu.objectives import get_objective
@@ -66,8 +77,13 @@ def main(argv=None):
                               seed=cfg.seed)
     loader = DataLoader(ds, batch_size=cfg.batch_size, seed=cfg.seed)
 
-    g = build_generator(cfg.generator, z_dim=cfg.nz, **cfg.g_kwargs)
-    d = build_discriminator(cfg.discriminator, **cfg.d_kwargs)
+    dtype = None
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **cfg.g_kwargs)
+    d = build_discriminator(cfg.discriminator, dtype=dtype, **cfg.d_kwargs)
     trainer = Trainer(
         dataloader=loader,
         num_epochs=cfg.num_epochs,

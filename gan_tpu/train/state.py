@@ -92,6 +92,24 @@ def create_state(
     return jax.block_until_ready(jax.jit(build)(rng))
 
 
+def _stable_dumps(obj) -> bytes:
+    """pickle.dumps with flax's per-process FlaxId counters zeroed, so the
+    bytes are a process-stable structural key for a module tree (used only
+    for hashing, never unpickled)."""
+    import copyreg
+    import io
+    import pickle
+
+    from flax.ids import FlaxId
+
+    buf = io.BytesIO()
+    p = pickle.Pickler(buf)
+    p.dispatch_table = copyreg.dispatch_table.copy()
+    p.dispatch_table[FlaxId] = lambda _o: (int, (0,))
+    p.dump(obj)
+    return buf.getvalue()
+
+
 def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
     """Model init in a JAX_PLATFORMS=cpu subprocess (see _init_worker.py).
     Returns {"g": vars, "d": vars} as numpy pytrees, or None on failure
@@ -114,9 +132,22 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
         except TypeError:
             key_arr = np.asarray(rng)
         seed = int(key_arr.reshape(-1)[-1])
-        spec = pickle.dumps(
-            (g_model, d_model, seed, batch_size, tuple(image_size))
-        )
+        # Normalize the compute dtype out of the cache key and template:
+        # params/variables are created in param dtype (f32) regardless of
+        # the flax compute dtype (verified: no self.param/self.variable in
+        # the zoo takes dtype), so a bf16 model shares the f32 init blob.
+        def _f32(m):
+            try:
+                return m.clone(dtype=None) if getattr(m, "dtype", None) is not None else m
+            except Exception:
+                return m
+
+        g_model, d_model = _f32(g_model), _f32(d_model)
+        spec_tuple = (g_model, d_model, seed, batch_size, tuple(image_size))
+        # stable key: batch size excluded — no parameter or mutable-variable
+        # shape depends on it (image_size stays: the MLP heads do depend on
+        # H*W), so entry()/bench/run share one blob per (models, seed, size)
+        spec = _stable_dumps((g_model, d_model, seed, tuple(image_size)))
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
 
@@ -129,6 +160,20 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
         cache_file = os.path.join(
             cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
 
+        # migrate blobs written under the legacy raw-pickle key (unstable:
+        # it embedded per-process FlaxId counters)
+        if not os.path.exists(cache_file):
+            legacy = os.path.join(
+                cache_dir,
+                "init_"
+                + hashlib.sha256(pickle.dumps(spec_tuple)).hexdigest()[:24]
+                + ".msgpack",
+            )
+            if os.path.exists(legacy):
+                import shutil
+
+                shutil.copyfile(legacy, cache_file)
+
         if os.path.exists(cache_file):
             with open(cache_file, "rb") as f:
                 blob = f.read()
@@ -137,7 +182,9 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
                 payload = os.path.join(td, "payload.pkl")
                 out = os.path.join(td, "vars.msgpack")
                 with open(payload, "wb") as f:
-                    f.write(spec)
+                    # the worker unpickles this: use a REAL pickle (the
+                    # stable `spec` bytes are hash-only, FlaxIds zeroed)
+                    f.write(pickle.dumps(spec_tuple))
                 env = dict(os.environ)
                 env["JAX_PLATFORMS"] = "cpu"
                 # strip the axon compile-relay hooks: inherited, they route
