@@ -101,7 +101,13 @@ def main():
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
             blob = json.load(f)
-        baseline = float(blob.get("reference_images_per_sec", 0.0))
+        # compare like with like: the flagship bench uses the measured
+        # flagship (G13_5+D9_4) reference throughput when available
+        # (tools/measure_reference.py flagship), else the fallback pair's
+        if use_flagship:
+            baseline = float(blob.get("reference_images_per_sec_flagship", 0.0))
+        if baseline <= 0:
+            baseline = float(blob.get("reference_images_per_sec", 0.0))
     except (OSError, ValueError):
         pass
     vs = ips / baseline if baseline > 0 else 0.0
