@@ -30,35 +30,50 @@ def main():
     from gan_tpu.train import create_state, build_train_step
     from __graft_entry__ import _flagship
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-
-    # Flagship (G13_5+D9_4) step compiles take hours cold on this host's
-    # single-core compile service. tools/prewarm_bench.py leaves a marker
-    # once the persistent cache holds the flagship program; without it (and
-    # without BENCH_FORCE_FLAGSHIP=1) we bench the largest warm pair
-    # instead and say so in the metric name.
+    # Flagship (G13_5+D9_4) step compiles take tens of minutes on the
+    # remote compile service. tools/prewarm_bench.py leaves a marker
+    # (BENCH_WARM_b{batch}[_bf16]) once the persistent cache holds the
+    # flagship program; without one (and without BENCH_FORCE_FLAGSHIP=1)
+    # we bench the largest warm pair instead and say so in the metric name.
     cache_dir = os.environ.get(
         "GAN_TPU_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
 
-    # compute dtype: BENCH_DTYPE=bf16|f32, or "auto" = fastest prewarmed
-    # variant (bf16 trains within ~1% of the f32 loss trajectory with f32
-    # params/optimizer; penalties/metrics come back finite — see
-    # docs/STATUS.md). Markers encode the dtype.
-    def _marker(dt):
-        sfx = "" if dt == "f32" else f"_{dt}"
-        return os.path.join(cache_dir, f"BENCH_WARM_b{batch_size}{sfx}")
+    # batch/dtype: explicit BENCH_BATCH / BENCH_DTYPE win; otherwise scan
+    # for prewarmed flagship markers (prefer bf16, then larger batch —
+    # bf16 trains within ~1% of the f32 loss trajectory with f32
+    # params/optimizer; see docs/STATUS.md). Note the flagship f32 step
+    # does not fit HBM at batch 16 (lane padding at C=48, 64x64); the
+    # reference's own committed batch size is 8 (main.py:28).
+    import glob
+    import re
 
+    req_batch = os.environ.get("BENCH_BATCH")
     req_dtype = os.environ.get("BENCH_DTYPE", "auto")
-    if req_dtype == "auto":
-        dtype_name = next(
-            (dt for dt in ("bf16", "f32") if os.path.exists(_marker(dt))), "f32"
-        )
+
+    def _marker(bs, dt):
+        sfx = "" if dt == "f32" else f"_{dt}"
+        return os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}")
+
+    found = []  # (bs, dtype_name)
+    for p in glob.glob(os.path.join(cache_dir, "BENCH_WARM_b*")):
+        m = re.fullmatch(r"BENCH_WARM_b(\d+)(?:_(\w+))?", os.path.basename(p))
+        if m:
+            found.append((int(m.group(1)), m.group(2) or "f32"))
+    if req_batch is not None:
+        found = [f for f in found if f[0] == int(req_batch)]
+    if req_dtype != "auto":
+        found = [f for f in found if f[1] == req_dtype]
+    found.sort(key=lambda f: (f[1] == "bf16", f[0]), reverse=True)
+
+    if found:
+        batch_size, dtype_name = found[0]
     else:
-        dtype_name = req_dtype
+        batch_size = int(req_batch) if req_batch is not None else 16
+        dtype_name = req_dtype if req_dtype != "auto" else "f32"
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
-    marker = _marker(dtype_name)
+    marker = _marker(batch_size, dtype_name)
 
     use_flagship = (
         os.environ.get("BENCH_FORCE_FLAGSHIP") == "1" or os.path.exists(marker)
