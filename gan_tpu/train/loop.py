@@ -119,8 +119,16 @@ class Trainer:
         t0 = time.time()
         n_imgs = 0
         for epoch in range(self.epoch, self.num_epochs):
+            # one key-split per epoch, not per step: under the axon relay
+            # every eager op is a host->service round trip, so per-step
+            # splits would serialize into the jitted-step pipeline
+            n = max(len(self.dataloader), 1)
+            epoch_keys = np.asarray(jax.random.split(self.rng, 2 * n + 1))
+            self.rng = jax.numpy.asarray(epoch_keys[0])
+            prep_keys = epoch_keys[1 : n + 1]
+            step_keys = epoch_keys[n + 1 :]
             for i, raw in enumerate(self.dataloader):
-                self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+                prep_rng, step_rng = prep_keys[i], step_keys[i]
                 batch = (
                     self._preprocess(prep_rng, raw) if self.preprocess else raw
                 )
