@@ -55,6 +55,27 @@ def test_pallas_nondivisible_query_tile():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_module_grads_under_env_flag(monkeypatch):
+    # first-order training through the G-side module works on the pallas
+    # path and matches einsum gradients
+    from gan_tpu.models.blocks_rir import SelfAttention
+
+    m = SelfAttention(embedding_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 16))
+    vars_ = m.init(jax.random.PRNGKey(8), x)
+
+    def loss(v):
+        return jnp.sum(jnp.cos(m.apply(v, x)))
+
+    g_ref = jax.grad(loss)(vars_)
+    monkeypatch.setenv("GAN_TPU_ATTN_IMPL", "pallas")
+    g_pl = jax.grad(loss)(vars_)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
 def test_module_parity_under_env_flag(monkeypatch):
     # The G-side SelfAttention produces identical outputs whichever impl
     # the env selects (pallas runs interpreted on CPU).
