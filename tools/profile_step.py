@@ -48,7 +48,10 @@ def main():
         g, d, g_name, d_name = _flagship(tiny=False, dtype=dtype)
 
     obj = get_objective("wganlazygpR2")
-    g_tx, d_tx = obj.make_optimizers()
+    # mirror bench.py exactly (same program -> compile-cache hit): the flat
+    # optimizer OOMs XLA layout padding at flagship scale
+    flagship = os.environ.get("PROFILE_PAIR") != "small"
+    g_tx, d_tx = obj.make_optimizers(flat=not flagship)
     rng = jax.random.PRNGKey(0)
     state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
                          image_size=(64, 64, 3))
