@@ -11,6 +11,7 @@ baseline exists, vs_baseline is 0.0.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -97,22 +98,76 @@ def main():
     step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
     batch = jax.random.normal(rng, (batch_size, *image_size))
 
-    # warmup/compile both variants
+    # warmup/compile both variants. NOTE: jax.block_until_ready is NOT a
+    # reliable completion barrier over the axon relay (measured: a 15 TFLOP
+    # step "completes" in 0.067 s < peak-FLOP lower bound); a device->host
+    # VALUE fetch is. Metrics chain through the donated state, so fetching
+    # m proves every prior step executed.
     state, m = step(state, batch, jax.random.PRNGKey(1), 0)
     state, m = step(state, batch, jax.random.PRNGKey(2), 1)
-    jax.block_until_ready(m)
+    jax.device_get(m)  # true barrier: drains compile/load + warmup steps
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     # materialize per-step keys OUTSIDE the timed region: under the axon
     # relay every eager op (even a cached PRNGKey build) is a host->service
     # round trip that would otherwise serialize into the step loop
-    keys = [jax.random.PRNGKey(3 + i) for i in range(n_steps)]
-    jax.block_until_ready(keys)
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, m = step(state, batch, keys[i], i)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
+    debug = os.environ.get("BENCH_DEBUG") == "1"
+    use_cadence = os.environ.get("BENCH_CADENCE") == "1"
+    if use_cadence:
+        # one dispatch per lazy interval: the k-step on-device cadence
+        # program (train/step.py TrainStep.cadence)
+        k = obj.lazy_interval
+        n_calls = max(1, n_steps // k)
+        n_steps = n_calls * k
+        batches = jnp.stack([batch] * k)
+        key_stacks = [jax.random.split(jax.random.PRNGKey(100 + j), k)
+                      for j in range(n_calls)]
+        jax.block_until_ready(key_stacks)
+        try:
+            # compile/load the cadence program (pen + scanned nopen body;
+            # ~1.7x the single-step graph — may exceed the remote compile
+            # helper's memory budget at flagship scale)
+            state, ms = step.cadence(state, batches, jax.random.split(
+                jax.random.PRNGKey(99), k))
+            jax.device_get(ms)
+        except Exception as e:
+            print(f"# cadence compile failed ({type(e).__name__}); "
+                  "falling back to per-step dispatch", file=sys.stderr)
+            use_cadence = False
+    if use_cadence:
+        t0 = time.perf_counter()
+        tprev = t0
+        for j in range(n_calls):
+            state, ms = step.cadence(state, batches, key_stacks[j])
+            if debug:
+                jax.device_get(ms)
+                tnow = time.perf_counter()
+                print(f"# cadence call {j} ({k} steps): {tnow - tprev:.3f}s",
+                      file=sys.stderr)
+                tprev = tnow
+        jax.device_get(ms)  # value fetch = proof of completion
+        dt = time.perf_counter() - t0
+    else:
+        keys = [jax.random.PRNGKey(3 + i) for i in range(n_steps)]
+        jax.block_until_ready(keys)
+        # one more fetched penalty step right before the timed region: the
+        # first dispatch after warmup/eager-op batches pays a one-time
+        # ~200s session cost on this relay (measured: timed step 0 took
+        # 223 s with warm executables; every later pen step 1.1 s)
+        state, m = step(state, batch, jax.random.PRNGKey(2**30), 0)
+        jax.device_get(m)
+        t0 = time.perf_counter()
+        tprev = t0
+        for i in range(n_steps):
+            state, m = step(state, batch, keys[i], i)
+            if debug:
+                jax.device_get(m)
+                tnow = time.perf_counter()
+                print(f"# step {i} ({'pen' if i % 5 == 0 else 'nopen'}): "
+                      f"{tnow - tprev:.3f}s", file=sys.stderr)
+                tprev = tnow
+        jax.device_get(m)  # value fetch = proof of completion of all steps
+        dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
     ips = batch_size * n_steps / dt / n_chips
@@ -134,7 +189,8 @@ def main():
 
     print(json.dumps({
         "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2, "
-                  f"batch {batch_size}, {dtype_name})",
+                  f"batch {batch_size}, {dtype_name}"
+                  f"{', cadence' if use_cadence else ''})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),

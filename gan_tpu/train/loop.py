@@ -46,6 +46,7 @@ class Trainer:
         checkpoint: bool = True,
         preprocess: bool = True,
         log_every: int = 50,
+        use_cadence: bool = False,
     ):
         enable_compilation_cache()
         self.dataloader = dataloader
@@ -60,6 +61,11 @@ class Trainer:
         self.image_size = image_size
         self.preprocess = preprocess
         self.log_every = log_every
+        # one device dispatch per lazy interval (train/step.py cadence):
+        # k steps run on-device via lax.scan. Record/image cadences are
+        # preserved because the reference's 20/30-iter cadences are
+        # multiples of the lazy interval 5 (wganlazygpR2.py:92-106).
+        self.use_cadence = use_cadence and objective.lazy_interval > 1
 
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng, noise_rng = jax.random.split(self.rng, 3)
@@ -127,34 +133,46 @@ class Trainer:
             self.rng = jax.numpy.asarray(epoch_keys[0])
             prep_keys = epoch_keys[1 : n + 1]
             step_keys = epoch_keys[n + 1 :]
+            k = obj.lazy_interval if self.use_cadence else 1
+            buf = []
+            done = []  # (i, per-step metrics) finished this iteration
             for i, raw in enumerate(self.dataloader):
                 prep_rng, step_rng = prep_keys[i], step_keys[i]
                 batch = (
                     self._preprocess(prep_rng, raw) if self.preprocess else raw
                 )
-                self.state, metrics = self.step_fn(self.state, batch, step_rng, i)
+                done = []
+                if k > 1:
+                    buf.append((i, batch, step_rng))
+                    is_tail = i == n - 1 and len(buf) < k
+                    if len(buf) == k:
+                        batches = jax.numpy.stack([b[1] for b in buf])
+                        keys = jax.numpy.stack(
+                            [jax.numpy.asarray(b[2]) for b in buf]
+                        )
+                        self.state, ms = self.step_fn.cadence(
+                            self.state, batches, keys
+                        )
+                        done = [
+                            (bi, jax.tree_util.tree_map(
+                                lambda a, j=j: a[j], ms))
+                            for j, (bi, _, _) in enumerate(buf)
+                        ]
+                        buf = []
+                    elif is_tail:  # loader tail: single-step fallback
+                        for bi, bb, bk in buf:
+                            self.state, m = self.step_fn(self.state, bb, bk, bi)
+                            done.append((bi, m))
+                        buf = []
+                else:
+                    self.state, metrics = self.step_fn(
+                        self.state, batch, step_rng, i
+                    )
+                    done = [(i, metrics)]
                 n_imgs += batch.shape[0]
 
-                if obj.record_every and i % obj.record_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    record = [
-                        ("Discriminator real loss", m["real_loss"]),
-                        ("Discriminator fake loss", m["fake_loss"]),
-                        ("Gradient penalties", m["gp"]),
-                        ("Simplified gradient penalties R1", m["r1"]),
-                        ("Simplified gradient penalties R2", m["r2"]),
-                        ("Generator loss", m["g_loss"]),
-                    ]
-                    self.recorder.add(record)
-                    self.recorder.write_txt(
-                        os.path.join(self.workdir, obj.name), record
-                    )
-                if obj.image_every and i % obj.image_every == 0:
-                    self.save_images(epoch, i)
-                if self.log_every and i % self.log_every == 0:
-                    m = {k: round(float(v), 4) for k, v in metrics.items()}
-                    ips = n_imgs / max(time.time() - t0, 1e-9)
-                    print(f"[{epoch}/{self.num_epochs}][{i}] {m} ({ips:.1f} img/s)")
+                for si, metrics in done:
+                    self._bookkeep(epoch, si, metrics, t0, n_imgs)
             if self.ckpt is not None and obj.ckpt_every_epoch:
                 self.ckpt.save((epoch + 1) * len(self.dataloader), self.state)
         if obj.record_every:
@@ -163,3 +181,26 @@ class Trainer:
             final_step = max(self.num_epochs, 1) * len(self.dataloader)
             if self.ckpt.latest_step() != final_step:
                 self.ckpt.save(final_step, self.state, wait=True)
+
+    def _bookkeep(self, epoch: int, i: int, metrics, t0, n_imgs) -> None:
+        """Per-step artifact cadences (reference cadences, SURVEY SS5.5).
+        Fetches metric scalars only when a cadence fires."""
+        obj = self.obj
+        if obj.record_every and i % obj.record_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            record = [
+                ("Discriminator real loss", m["real_loss"]),
+                ("Discriminator fake loss", m["fake_loss"]),
+                ("Gradient penalties", m["gp"]),
+                ("Simplified gradient penalties R1", m["r1"]),
+                ("Simplified gradient penalties R2", m["r2"]),
+                ("Generator loss", m["g_loss"]),
+            ]
+            self.recorder.add(record)
+            self.recorder.write_txt(os.path.join(self.workdir, obj.name), record)
+        if obj.image_every and i % obj.image_every == 0:
+            self.save_images(epoch, i)
+        if self.log_every and i % self.log_every == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            ips = n_imgs / max(time.time() - t0, 1e-9)
+            print(f"[{epoch}/{self.num_epochs}][{i}] {m} ({ips:.1f} img/s)")

@@ -31,11 +31,20 @@ from gan_tpu.train.state import GANTrainState
 
 
 class TrainStep(NamedTuple):
-    """Compiled step pair: with and without the lazy penalty branch."""
+    """Compiled step pair: with and without the lazy penalty branch.
+
+    cadence: one compiled program running a full lazy interval on-device —
+    the penalty step then lax.scan over the k-1 plain steps. One host
+    dispatch per k steps (per-step dispatch over the axon relay costs a
+    host->service round trip each; the reference's host hot loop,
+    wganlazygpR2.py:75, has no TPU analogue). Call as
+    cadence(state, batches, rngs) with batches (k, B, H, W, C) and rngs
+    (k,) stacked PRNG keys; metrics come back stacked along axis 0."""
 
     with_penalties: Callable
     without_penalties: Callable
     lazy_interval: int
+    cadence: Optional[Callable] = None
 
     def __call__(self, state: GANTrainState, batch, rng, step_in_epoch: int):
         """Dispatch on the reference's host-side cadence (idx %% k == 0)."""
@@ -216,6 +225,25 @@ def build_train_step(
         state = state.replace(step=state.step + 1)
         return state, metrics
 
+    def cadence(state: GANTrainState, batches, rngs):
+        """One full lazy interval per dispatch: step 0 with penalties, then
+        scan the k-1 penalty-free steps (same HLO as the two single-step
+        programs combined — scan reuses one body)."""
+        state, m0 = step(state, batches[0], rngs[0], apply_penalties=True)
+        if obj.lazy_interval <= 1:
+            return state, jax.tree_util.tree_map(lambda a: a[None], m0)
+
+        def body(s, xs):
+            b, r = xs
+            s, m = step(s, b, r, apply_penalties=False)
+            return s, m
+
+        state, ms = jax.lax.scan(body, state, (batches[1:], rngs[1:]))
+        metrics = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b]), m0, ms
+        )
+        return state, metrics
+
     step_pen = functools.partial(step, apply_penalties=True)
     step_nopen = functools.partial(step, apply_penalties=False)
     if jit:
@@ -242,4 +270,10 @@ def build_train_step(
             if obj.lazy_interval > 1
             else step_pen
         )
-    return TrainStep(step_pen, step_nopen, obj.lazy_interval)
+        # cadence takes stacked (k, ...) batch/rng args, so the per-step
+        # in/out shardings don't apply to it; GSPMD propagates from state.
+        cad_kwargs = {
+            k_: v for k_, v in jit_kwargs.items() if k_ == "compiler_options"
+        }
+        cadence = jax.jit(cadence, donate_argnums=0, **cad_kwargs)
+    return TrainStep(step_pen, step_nopen, obj.lazy_interval, cadence)

@@ -104,3 +104,35 @@ def test_determinism():
     m1, m2 = run(), run()
     for k in m1:
         assert float(m1[k]) == float(m2[k])
+
+
+def test_cadence_matches_individual_steps():
+    """One jitted cadence dispatch == k individual step calls (same keys)."""
+    obj = get_objective("wganlazygpR2")
+    g, d = _tiny("wganlazygpR2")
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    k = obj.lazy_interval
+    state_a = create_state(rng, g, d, g_tx, d_tx, batch_size=4,
+                           image_size=(64, 64, 3))
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+    step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+    batches = jax.random.normal(rng, (k, 4, 64, 64, 3))
+    keys = jax.random.split(jax.random.PRNGKey(7), k)
+
+    for i in range(k):
+        state_a, m = step(state_a, batches[i], keys[i], i)
+    state_b, ms = step.cadence(state_b, batches, keys)
+
+    assert int(state_b.step) == k
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.g_params),
+                      jax.tree_util.tree_leaves(state_b.g_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.d_params),
+                      jax.tree_util.tree_leaves(state_b.d_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)
+    # stacked metrics: penalty terms only on step 0
+    gp = np.asarray(ms["gp"])
+    assert gp.shape[0] == k and gp[0] != 0.0 and np.all(gp[1:] == 0.0)
