@@ -112,12 +112,19 @@ class StyleBlock(nn.Module):
 class ResnetInit(nn.Module):
     """generator_13_5.py:324-351: additive fusion + PReLU.
 
-    TPU-first fusion (fused=True, default): the reference's four StyleBlocks
-    split into two groups of identical shape — {residual(x_res),
-    transient_across(x_tra)} emitting out+dd and {residual_across(x_res),
-    transient(x_tra)} emitting out. Each group runs as ONE nn.vmap'd
-    StyleBlock with stacked weights: half the HLO ops, same math, same
-    parameter count and init distributions (split_rngs)."""
+    TPU-first fusion: the reference's four StyleBlocks split into two
+    groups of identical shape — {residual(x_res), transient_across(x_tra)}
+    emitting out+dd and {residual_across(x_res), transient(x_tra)}
+    emitting out. Three implementations, identical params (stacked (2,...)
+    leaves) and math:
+    - impl='folded' (default): each group is ONE FoldedStyleBlockPair on
+      channel-folded (B, H, W, 2C) tensors — grouped convs plus
+      lane-aligned elementwise ops (models/paired.py rationale).
+    - impl='vmap': nn.vmap'd StyleBlock with stacked weights (half the
+      HLO of unrolled; stacked (2, B, H, W, C) elementwise layout).
+    - impl='unrolled': four separate StyleBlocks (different param tree;
+      reference-shaped, kept for clarity/debugging).
+    `fused=False` is honored as impl='unrolled' for backward compat."""
 
     in_planes: int
     out_planes: int
@@ -127,16 +134,31 @@ class ResnetInit(nn.Module):
     image_size: int
     dead_bias: bool = True
     fused: bool = True
+    impl: str = "folded"  # 'folded' | 'vmap' | 'unrolled'
     dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, xs, w, train: bool = True):
         x_res, x_tra = xs
+        impl = self.impl if self.fused else "unrolled"
         kw = dict(in_planes=self.in_planes, out_planes=self.out_planes,
                   kernel_size=self.kernel_size, m=self.m,
                   image_size=self.image_size, dead_bias=self.dead_bias,
                   dtype=self.dtype)
-        if self.fused:
+        if impl == "folded":
+            from gan_tpu.models import paired
+
+            folded = paired.fold_pair(x_res, x_tra)
+            ga = paired.FoldedStyleBlockPair(
+                dense_depth=self.dense_depth, name="group_dd", **kw
+            )(folded, w, train)
+            gb = paired.FoldedStyleBlockPair(
+                dense_depth=0, name="group_nodd", **kw
+            )(folded, w, train)
+            r_r, t_r = paired.split_pair(
+                ga, self.out_planes + self.dense_depth)
+            r_t, t_t = paired.split_pair(gb, self.out_planes)
+        elif impl == "vmap":
             VBlock = nn.vmap(
                 StyleBlock,
                 in_axes=(0, None, None),
@@ -175,6 +197,7 @@ class BasicBlock(nn.Module):
     root: bool = False
     is_unify: bool = False
     dead_bias: bool = True
+    rir_impl: str = "folded"
     dtype: jnp.dtype = None
 
     def get_out_planes(self) -> int:
@@ -194,7 +217,8 @@ class BasicBlock(nn.Module):
                            name="activation_unify")(x)
         x_res = jnp.concatenate([x[..., :d], x[..., 2 * d:]], axis=-1)
         x_tra = x[..., d:]
-        r3, t3 = ResnetInit(self.in_planes, d, dd, 3, name="rir_3", **kw)((x_res, x_tra), w, train)
+        r3, t3 = ResnetInit(self.in_planes, d, dd, 3, impl=self.rir_impl,
+                            name="rir_3", **kw)((x_res, x_tra), w, train)
         se_cls = sk.SEBlockConv if self.image_size > 4 else sk.SEBlockFC
         gate = se_cls(style=sk.V13_5, dtype=self.dtype,
                       name="se_attention_residual")(r3[..., :d], train)
@@ -247,14 +271,15 @@ class Tree(nn.Module):
     m: int
     image_size: int
     dead_bias: bool = True
+    rir_impl: str = "folded"
     dtype: jnp.dtype = None
 
     def _block(self, last, root, unify, name):
         ip = self.in_planes * self.block_num if root else self.in_planes
         return BasicBlock(last, ip, self.out_planes, self.dense_depth,
                           self.m, self.image_size, root=root, is_unify=unify,
-                          dead_bias=self.dead_bias, dtype=self.dtype,
-                          name=name)
+                          dead_bias=self.dead_bias, rir_impl=self.rir_impl,
+                          dtype=self.dtype, name=name)
 
     def get_out_planes(self) -> int:
         return 2 * self.out_planes + 2 * self.dense_depth
@@ -272,7 +297,8 @@ class Tree(nn.Module):
                            self.dense_depth, level=i,
                            block_num=self.block_num, m=self.m,
                            image_size=self.image_size,
-                           dead_bias=self.dead_bias, dtype=self.dtype,
+                           dead_bias=self.dead_bias,
+                           rir_impl=self.rir_impl, dtype=self.dtype,
                            name=f"level_{i}")
                 x, rgb = sub(x, w, rgb, train)
                 last = sub.get_out_planes()
@@ -313,6 +339,7 @@ class GeneratorBlock(nn.Module):
     m: int
     image_size: int
     dead_bias: bool = True
+    rir_impl: str = "folded"
     dtype: jnp.dtype = None
 
     def get_out_planes(self) -> int:
@@ -326,7 +353,8 @@ class GeneratorBlock(nn.Module):
         return Tree(self.last_planes, self.in_planes, self.out_planes,
                     self.dense_depth, self.level, self.block_num, self.m,
                     self.image_size, dead_bias=self.dead_bias,
-                    dtype=self.dtype, name="tree")(x, w, rgb, train)
+                    rir_impl=self.rir_impl, dtype=self.dtype,
+                    name="tree")(x, w, rgb, train)
 
 
 class Generator13_5(nn.Module):
@@ -336,6 +364,7 @@ class Generator13_5(nn.Module):
     planes: int = 48
     mapping_layers: int = 12
     fix_styleconv_bias: bool = False  # True repairs the dead-bias bug
+    rir_impl: str = "folded"  # ResnetInit pair layout (see models/paired.py)
     remat: bool = True  # block-level rematerialization: the full model's
     # activations (incl. the GP double-backward) exceed 16GB HBM otherwise
     dtype: jnp.dtype = None
@@ -362,7 +391,8 @@ class Generator13_5(nn.Module):
                    if self.remat else GeneratorBlock)
         start_tree = tree_cls(p * 8, p * 8, p * 4, p // 8, level=1,
                               block_num=2, m=1, image_size=4, dead_bias=dead,
-                              dtype=self.dtype, name="start_tree")
+                              rir_impl=self.rir_impl, dtype=self.dtype,
+                              name="start_tree")
         x, rgb = start_tree(x, w, rgb, train)
         last = 2 * (p * 4) + 2 * (p // 8)
 
@@ -375,7 +405,8 @@ class Generator13_5(nn.Module):
         for i, (ip, op, size) in enumerate(stages):
             blk = blk_cls(last, ip, op, p // 8, level=2, block_num=2,
                           m=2, image_size=size, dead_bias=dead,
-                          dtype=self.dtype, name=f"block{i + 1}")
+                          rir_impl=self.rir_impl, dtype=self.dtype,
+                          name=f"block{i + 1}")
             x, rgb = blk(x, w, rgb, train)
             last = 2 * op + 2 * (p // 8)
         return rgb

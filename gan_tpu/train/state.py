@@ -142,7 +142,17 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
             except Exception:
                 return m
 
-        g_model, d_model = _f32(g_model), _f32(d_model)
+        def _norm_impl(m):
+            # rir_impl variants share one param tree (models/paired.py);
+            # normalize it out so vmap/folded reuse the same init blob
+            if getattr(m, "rir_impl", None) is not None:
+                try:
+                    return m.clone(rir_impl="vmap")
+                except Exception:
+                    return m
+            return m
+
+        g_model, d_model = _norm_impl(_f32(g_model)), _norm_impl(_f32(d_model))
         spec_tuple = (g_model, d_model, seed, batch_size, tuple(image_size))
         # stable key: batch size excluded — no parameter or mutable-variable
         # shape depends on it (image_size stays: the MLP heads do depend on

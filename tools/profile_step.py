@@ -118,9 +118,10 @@ def main():
 
     if os.environ.get("PROFILE_TRACE") == "1":
         trace_dir = "/tmp/gan_tpu_trace"
-        with jax.profiler.trace(trace_dir):
+        perfetto = os.environ.get("PROFILE_PERFETTO") == "1"
+        with jax.profiler.trace(trace_dir, create_perfetto_trace=perfetto):
             s, m = step(state, batch, jax.random.PRNGKey(99), 0)
-            jax.block_until_ready(m)
+            jax.device_get(m)  # value fetch: the only reliable barrier here
         report["trace_dir"] = trace_dir
 
     out = os.path.join(os.path.dirname(os.path.dirname(
