@@ -86,16 +86,21 @@ def main():
 
     # measured step times (donated state: rebuild between variants)
     def timed(n=10):
+        # jax.block_until_ready is NOT a completion barrier over the axon
+        # relay (bench.py docstring); only a device->host VALUE fetch is.
         nonlocal state
         s, m = step(state, batch, jax.random.PRNGKey(3), 0)   # pen
         s, m = step(s, batch, jax.random.PRNGKey(4), 1)       # nopen
-        jax.block_until_ready(m)
+        jax.device_get(m)
+        # absorb the one-time first-dispatch session cost (bench.py)
+        s, m = step(s, batch, jax.random.PRNGKey(1000), 0)
+        jax.device_get(m)
         times = {"with_penalties": [], "without_penalties": []}
         for i in range(n):
             idx = i % obj.lazy_interval
             t0 = time.perf_counter()
             s, m = step(s, batch, jax.random.PRNGKey(5 + i), idx)
-            jax.block_until_ready(m)
+            jax.device_get(m)
             key = "with_penalties" if idx == 0 else "without_penalties"
             times[key].append(time.perf_counter() - t0)
         state = s
