@@ -334,10 +334,11 @@ def Discriminator9_3(dtype=None):
     )
 
 
-def Discriminator9_4(features: int = 64, dtype=None):
+def Discriminator9_4(features: int = 64, dtype=None, remat: bool = True):
     return _D9Base(
         _D9Variant(features=features, act="prelu", se="v94",
                    plan=_PLAN_NO_ATTN),
+        remat=remat,
         dtype=dtype,
     )
 
