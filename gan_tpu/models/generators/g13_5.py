@@ -117,11 +117,13 @@ class ResnetInit(nn.Module):
     emitting out+dd and {residual_across(x_res), transient(x_tra)}
     emitting out. Three implementations, identical params (stacked (2,...)
     leaves) and math:
-    - impl='folded' (default): each group is ONE FoldedStyleBlockPair on
+    - impl='vmap' (default — matches the persisted flagship compile
+      cache; see Generator13_5.rir_impl): nn.vmap'd StyleBlock with
+      stacked weights (half the HLO of unrolled; stacked (2, B, H, W, C)
+      elementwise layout).
+    - impl='folded': each group is ONE FoldedStyleBlockPair on
       channel-folded (B, H, W, 2C) tensors — grouped convs plus
       lane-aligned elementwise ops (models/paired.py rationale).
-    - impl='vmap': nn.vmap'd StyleBlock with stacked weights (half the
-      HLO of unrolled; stacked (2, B, H, W, C) elementwise layout).
     - impl='unrolled': four separate StyleBlocks (different param tree;
       reference-shaped, kept for clarity/debugging).
     `fused=False` is honored as impl='unrolled' for backward compat."""
@@ -134,7 +136,7 @@ class ResnetInit(nn.Module):
     image_size: int
     dead_bias: bool = True
     fused: bool = True
-    impl: str = "folded"  # 'folded' | 'vmap' | 'unrolled'
+    impl: str = "vmap"  # 'folded' | 'vmap' | 'unrolled'
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -197,7 +199,7 @@ class BasicBlock(nn.Module):
     root: bool = False
     is_unify: bool = False
     dead_bias: bool = True
-    rir_impl: str = "folded"
+    rir_impl: str = "vmap"
     dtype: jnp.dtype = None
 
     def get_out_planes(self) -> int:
@@ -271,7 +273,7 @@ class Tree(nn.Module):
     m: int
     image_size: int
     dead_bias: bool = True
-    rir_impl: str = "folded"
+    rir_impl: str = "vmap"
     dtype: jnp.dtype = None
 
     def _block(self, last, root, unify, name):
@@ -339,7 +341,7 @@ class GeneratorBlock(nn.Module):
     m: int
     image_size: int
     dead_bias: bool = True
-    rir_impl: str = "folded"
+    rir_impl: str = "vmap"
     dtype: jnp.dtype = None
 
     def get_out_planes(self) -> int:
@@ -364,7 +366,12 @@ class Generator13_5(nn.Module):
     planes: int = 48
     mapping_layers: int = 12
     fix_styleconv_bias: bool = False  # True repairs the dead-bias bug
-    rir_impl: str = "folded"  # ResnetInit pair layout (see models/paired.py)
+    # ResnetInit pair layout (see models/paired.py). Default 'vmap': the
+    # persisted compile cache holds the vmap flagship step programs (the
+    # 284x bench, docs/STATUS.md); flip to 'folded' only together with a
+    # re-prewarm (tools/prewarm_bench.py) — a cold flagship compile takes
+    # tens of minutes on this host's remote compile service.
+    rir_impl: str = "vmap"
     remat: bool = True  # block-level rematerialization: the full model's
     # activations (incl. the GP double-backward) exceed 16GB HBM otherwise
     dtype: jnp.dtype = None
