@@ -3,6 +3,14 @@ thesis objective (wganlazygpR2), 64x64.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Structure (round-2 fix: BENCH_r01 was a silent rc=124 timeout): the parent
+process is a jax-free supervisor enforcing a wall-clock budget
+(BENCH_BUDGET seconds, default 1200). The measurement runs in a child
+process (BENCH_INNER=1). If the flagship attempt times out or fails, the
+supervisor retries with the small warm pair (G2+D3) in the remaining
+budget, and if that also fails it STILL prints the JSON line (value 0.0,
+metric explaining the failure) — the driver always gets parseable output.
+
 vs_baseline: ratio vs the PyTorch reference implementation measured on this
 host (stored in BENCH_BASELINE.json by tools/measure_reference.py; the
 reference publishes no throughput numbers — BASELINE.md). If no stored
@@ -14,11 +22,13 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
+def _measure():
+    import jax
+    import jax.numpy as jnp
+
     # Testability on a busy/absent TPU: BENCH_PLATFORM=cpu forces the CPU
     # backend in-process (shell-level JAX_PLATFORMS is ignored under the
     # pinned axon platform).
@@ -37,8 +47,7 @@ def main():
     # flagship program; without one (and without BENCH_FORCE_FLAGSHIP=1)
     # we bench the largest warm pair instead and say so in the metric name.
     cache_dir = os.environ.get(
-        "GAN_TPU_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        "GAN_TPU_COMPILE_CACHE", os.path.join(_REPO, ".jax_cache")
     )
 
     # batch/dtype: explicit BENCH_BATCH / BENCH_DTYPE win; otherwise scan
@@ -77,7 +86,9 @@ def main():
     marker = _marker(batch_size, dtype_name)
 
     use_flagship = (
-        os.environ.get("BENCH_FORCE_FLAGSHIP") == "1" or os.path.exists(marker)
+        os.environ.get("BENCH_FORCE_FALLBACK") != "1"
+        and (os.environ.get("BENCH_FORCE_FLAGSHIP") == "1"
+             or os.path.exists(marker))
     )
     if use_flagship:
         g, d, g_name, d_name = _flagship(tiny=False, dtype=dtype)
@@ -174,7 +185,7 @@ def main():
 
     baseline = 0.0
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
+        with open(os.path.join(_REPO, "BENCH_BASELINE.json")) as f:
             blob = json.load(f)
         # compare like with like: the flagship bench uses the measured
         # flagship (G13_5+D9_4) reference throughput when available
@@ -195,8 +206,76 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
     }))
-    if use_flagship and not os.path.exists(marker):
-        open(marker, "w").write("ok")
+    # NOTE: deliberately no warm-marker write here — a measurement tool
+    # must not mutate the cache state it trusts (tools/prewarm_bench.py
+    # owns the markers).
+
+
+def _attempt(extra_env: dict, timeout_s: float):
+    """Run the measurement child; return the parsed JSON dict or None."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(extra_env)
+    env["BENCH_INNER"] = "1"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, cwd=_REPO, timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        for s in (e.stderr, e.stdout):
+            if s:
+                txt = s.decode() if isinstance(s, bytes) else s
+                sys.stderr.write(txt[-2000:])
+        sys.stderr.write(f"\n# bench attempt timed out after {timeout_s:.0f}s\n")
+        return None
+    if res.stderr:
+        sys.stderr.write(res.stderr[-4000:])
+    if res.returncode != 0:
+        sys.stderr.write(f"# bench attempt failed rc={res.returncode}\n")
+        return None
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                pass
+    return None
+
+
+def main():
+    if os.environ.get("BENCH_INNER") == "1":
+        _measure()
+        return
+    budget = float(os.environ.get("BENCH_BUDGET", "1200"))
+    t0 = time.monotonic()
+    out = None
+    try:
+        # attempt 1: the default path (flagship if prewarmed)
+        out = _attempt({}, max(min(budget, 60.0), budget * 0.75))
+        if out is None:
+            # attempt 2: small warm pair, fewer steps, in what remains
+            remaining = budget - (time.monotonic() - t0) - 10.0
+            if remaining > 60.0:
+                out = _attempt(
+                    {"BENCH_FORCE_FALLBACK": "1",
+                     "BENCH_STEPS": os.environ.get("BENCH_STEPS", "10")},
+                    remaining,
+                )
+    except Exception as e:  # the supervisor itself must never die silently
+        sys.stderr.write(f"# bench supervisor error: {type(e).__name__}: {e}\n")
+    if out is None:
+        out = {
+            "metric": "images/sec/chip (64x64, wganlazygpR2) — "
+                      "bench budget exhausted, no measurement",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,13 @@ class ImageFolderDataset:
     ToTensor->flip->resize order).
     """
 
+    # reference transform stats (units/dataloader.py:7-12): ImageNet
+    # normalize + random horizontal flip
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    flip = True
+    channels = 3
+
     def __init__(
         self,
         root: str,
@@ -80,11 +87,86 @@ class SyntheticDataset:
     """Deterministic random uint8 images — benchmark / CI stand-in when no
     image corpus is mounted."""
 
+    mean = ImageFolderDataset.mean
+    std = ImageFolderDataset.std
+    flip = True
+    channels = 3
+
     def __init__(self, n: int = 2048, size: Tuple[int, int] = (64, 64), seed: int = 0):
         rng = np.random.default_rng(seed)
         self.images = rng.integers(
             0, 256, size=(n, size[0], size[1], 3), dtype=np.uint8
         )
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse an IDX-format file (the MNIST container format; spec at the
+    bottom of Y. LeCun's MNIST page). Accepts .gz. No egress needed — this
+    replaces torchvision's MNIST(download=True) with a local-file reader."""
+    import gzip
+    import struct
+
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rb") as f:
+        data = f.read()
+    zero, dtype_code, ndim = struct.unpack(">HBB", data[:4])
+    if zero != 0:
+        raise ValueError(f"{path}: bad IDX magic {data[:4]!r}")
+    dtypes = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+              0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}
+    if dtype_code not in dtypes:
+        raise ValueError(f"{path}: unknown IDX dtype 0x{dtype_code:02x}")
+    dims = struct.unpack(f">{ndim}I", data[4 : 4 + 4 * ndim])
+    arr = np.frombuffer(
+        data, np.dtype(dtypes[dtype_code]).newbyteorder(">"),
+        offset=4 + 4 * ndim)
+    return arr.reshape(dims).astype(dtypes[dtype_code])
+
+
+class MNISTDataset:
+    """Local-file MNIST — parity with the reference's get_MNIST
+    (/root/reference/units/dataloader.py:16-27): train split, NO flip,
+    bicubic resize 28->64 and (0.5, 0.5) normalization, all of which run
+    on-device via the mean/std/flip attributes (gan_tpu.data.augment).
+    Single-channel images, stored (N, 28, 28, 1) uint8.
+
+    Looks for IDX files (optionally .gz) under `root`, `root/MNIST/raw`
+    (torchvision layout), or `root/raw`.
+    """
+
+    mean = (0.5,)
+    std = (0.5,)
+    flip = False  # the reference comments RandomHorizontalFlip out (:21)
+    channels = 1
+
+    _FILES = {True: "train-images-idx3-ubyte", False: "t10k-images-idx3-ubyte"}
+    _LABELS = {True: "train-labels-idx1-ubyte", False: "t10k-labels-idx1-ubyte"}
+
+    def __init__(self, root: str, train: bool = True):
+        img_path = self._find(root, self._FILES[train])
+        if img_path is None:
+            raise FileNotFoundError(
+                f"MNIST IDX file {self._FILES[train]}[.gz] not found under "
+                f"{root} (searched ., MNIST/raw, raw)"
+            )
+        imgs = _read_idx(img_path)
+        if imgs.ndim != 3:
+            raise ValueError(f"{img_path}: expected (N,H,W), got {imgs.shape}")
+        self.images = imgs[..., None]  # (N, 28, 28, 1) uint8
+        lbl_path = self._find(root, self._LABELS[train])
+        self.labels = _read_idx(lbl_path) if lbl_path is not None else None
+
+    @staticmethod
+    def _find(root: str, stem: str) -> Optional[str]:
+        for sub in ("", os.path.join("MNIST", "raw"), "raw"):
+            for ext in ("", ".gz"):
+                p = os.path.join(root, sub, stem + ext)
+                if os.path.isfile(p):
+                    return p
+        return None
 
     def __len__(self) -> int:
         return len(self.images)

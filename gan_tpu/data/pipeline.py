@@ -22,6 +22,7 @@ class DataLoader:
         seed: int = 0,
         sharding: Optional[jax.sharding.Sharding] = None,
     ):
+        self.dataset = dataset
         self.images = dataset.images
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -552,7 +552,10 @@ def minibatch_stddev(x: jax.Array, group_size: int = 4, eps: float = 1e-8) -> ja
     assert b % group_size == 0, "batch size must be divisible by group_size"
     h, w = x.shape[1], x.shape[2]
     xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(group_size, -1)
-    std = jnp.sqrt(jnp.var(xc, axis=0) + eps)
+    # ddof=1: torch .var() defaults to the UNBIASED estimator (caught by
+    # the round-2 torch-import golden parity; biased var skewed the stddev
+    # channel ~0.4%)
+    std = jnp.sqrt(jnp.var(xc, axis=0, ddof=1) + eps)
     feat = jnp.full((b, h, w, 1), jnp.mean(std), dtype=x.dtype)
     return jnp.concatenate([x, feat], axis=-1)
 
@@ -581,10 +584,53 @@ def smooth(x: jax.Array) -> jax.Array:
     )
 
 
+def _torch_cubic_weights(frac, a: float = -0.75):
+    """4-tap cubic convolution weights, torch/OpenCV flavor (Keys a=-0.75;
+    jax.image.resize uses a=-0.5 AND antialiases on downsample — both
+    break value parity with F.interpolate(mode='bicubic'))."""
+    import numpy as np
+
+    def w(d):
+        d = np.abs(d)
+        return np.where(
+            d <= 1.0,
+            (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0,
+            np.where(d < 2.0, a * (d**3 - 5.0 * d**2 + 8.0 * d - 4.0), 0.0),
+        )
+
+    return np.stack([w(frac + 1.0), w(frac), w(1.0 - frac), w(2.0 - frac)])
+
+
+def _resize_axis_bicubic(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    import numpy as np
+
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    weights = _torch_cubic_weights(frac)  # (4, out)
+    acc = None
+    for k in range(4):
+        idx = np.clip(base + (k - 1), 0, in_size - 1)  # border replicate
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        w = jnp.asarray(weights[k], x.dtype).reshape(shape)
+        term = jnp.take(x, jnp.asarray(idx), axis=axis) * w
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def resize_bicubic(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Bicubic NHWC resize (torch F.interpolate(mode='bicubic') analog)."""
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bicubic")
+    """Bicubic NHWC resize with exact torch F.interpolate(mode='bicubic',
+    align_corners=False) semantics: Keys a=-0.75 kernel, 4 taps per output
+    sample, border replication, NO antialiasing (validated value-for-value
+    in tests/test_torch_import.py)."""
+    x = _resize_axis_bicubic(x, 1, out_hw[0])
+    x = _resize_axis_bicubic(x, 2, out_hw[1])
+    return x
 
 
 def upsample_smooth(x: jax.Array, factor: int = 2) -> jax.Array:

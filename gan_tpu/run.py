@@ -22,6 +22,12 @@ def parse_args(argv=None):
     p.add_argument("--discriminator", default=None)
     p.add_argument("--objective", default=None)
     p.add_argument("--dataroot", default=None)
+    p.add_argument("--dataset", choices=["auto", "folder", "mnist"],
+                   default="auto",
+                   help="dataset kind: folder=ImageFolder; mnist=local IDX "
+                        "files (reference get_MNIST parity: 0.5-normalize, "
+                        "no flip, 1 channel); auto=folder if dataroot else "
+                        "synthetic")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--nz", type=int, default=None)
@@ -66,11 +72,16 @@ def main(argv=None):
         os.environ["GAN_TPU_ATTN_IMPL"] = args.attn_impl
 
     from gan_tpu.data import DataLoader, ImageFolderDataset, SyntheticDataset
+    from gan_tpu.data.datasets import MNISTDataset
     from gan_tpu.models import build_generator, build_discriminator
     from gan_tpu.objectives import get_objective
     from gan_tpu.train.loop import Trainer
 
-    if cfg.dataroot:
+    if args.dataset == "mnist":
+        if not cfg.dataroot:
+            sys.exit("--dataset mnist requires --dataroot (local IDX files)")
+        ds = MNISTDataset(cfg.dataroot)
+    elif cfg.dataroot:
         ds = ImageFolderDataset(cfg.dataroot, load_size=cfg.image_size)
     else:
         ds = SyntheticDataset(n=args.synthetic_n, size=cfg.image_size,
@@ -82,8 +93,22 @@ def main(argv=None):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
-    g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **cfg.g_kwargs)
-    d = build_discriminator(cfg.discriminator, dtype=dtype, **cfg.d_kwargs)
+    g_kwargs, d_kwargs = dict(cfg.g_kwargs), dict(cfg.d_kwargs)
+    if getattr(ds, "channels", 3) != 3:
+        # single-channel corpus: models taking an nc arg (G1/G2/G3, D1-D3)
+        # get it from the dataset unless the config pinned one
+        g_kwargs.setdefault("nc", ds.channels)
+        d_kwargs.setdefault("nc", ds.channels)
+    try:
+        g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **g_kwargs)
+    except TypeError:
+        g_kwargs.pop("nc", None)
+        g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **g_kwargs)
+    try:
+        d = build_discriminator(cfg.discriminator, dtype=dtype, **d_kwargs)
+    except TypeError:
+        d_kwargs.pop("nc", None)
+        d = build_discriminator(cfg.discriminator, dtype=dtype, **d_kwargs)
     trainer = Trainer(
         dataloader=loader,
         num_epochs=cfg.num_epochs,

@@ -70,6 +70,21 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng, noise_rng = jax.random.split(self.rng, 3)
 
+        # dataset-declared transform stats (data/datasets.py): ImageNet
+        # normalize + flip for image folders (dataloader.py:7-12), 0.5/0.5
+        # no-flip single-channel for MNIST (dataloader.py:16-27)
+        ds = getattr(dataloader, "dataset", None)
+        from gan_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+        # numpy (not device) constants: they fold into the jitted
+        # preprocess; eager device ops are per-op AOT round trips here
+        norm_mean = np.asarray(
+            getattr(ds, "mean", None) or IMAGENET_MEAN, np.float32)
+        norm_std = np.asarray(
+            getattr(ds, "std", None) or IMAGENET_STD, np.float32)
+        flip = bool(getattr(ds, "flip", True))
+        self.channels = int(getattr(ds, "channels", 3))
+
         g_tx, d_tx = objective.make_optimizers()
         self.state = create_state(
             init_rng,
@@ -78,7 +93,7 @@ class Trainer:
             g_tx,
             d_tx,
             batch_size=dataloader.batch_size,
-            image_size=(*image_size, 3),
+            image_size=(*image_size, self.channels),
         )
         self.step_fn = build_train_step(generator, discriminator, objective, g_tx, d_tx)
         # fixed eval noise, reference-sized per trainer (gan.py:13 -> 64;
@@ -103,7 +118,9 @@ class Trainer:
                 self.i = latest % max(epoch_len, 1)
 
         self._preprocess = jax.jit(
-            lambda rng, raw: preprocess_batch(rng, raw, out_size=image_size)
+            lambda rng, raw: preprocess_batch(
+                rng, raw, out_size=image_size,
+                mean=norm_mean, std=norm_std, flip=flip)
         )
         self._sample = jax.jit(
             lambda g_params, g_state, z: generator.apply(

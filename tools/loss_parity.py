@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(steps=300, batch=64, nz=64, tol=0.35):
+def run(steps=1000, batch=64, nz=64, tol=0.35):
     import torch
 
     import jax

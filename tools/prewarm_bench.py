@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     os.environ.setdefault("BENCH_STEPS", "2")
     os.environ["BENCH_FORCE_FLAGSHIP"] = "1"
+    # run the measurement in-process with NO watchdog: prewarm is the one
+    # caller that WANTS to sit through the cold multi-hour compile
+    os.environ["BENCH_INNER"] = "1"
     import bench
 
     bench.main()

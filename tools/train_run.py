@@ -1,0 +1,158 @@
+"""Sustained training run for evidence (VERDICT r1 task 6): multi-epoch
+Trainer run on the real TPU with checkpoint/resume exercised mid-run,
+sample grids, loss records/plot, and an FID-proxy trend.
+
+The reference's own artifact is a 24-epoch sample grid + 47-epoch video on
+cats-faces (/root/reference/README.md:7-13). No image corpus is mounted on
+this machine (zero egress), so the default corpus is the deterministic
+synthetic dataset; pass --dataroot to use a real folder corpus.
+
+Flow:
+  phase 1: train `--epochs1` epochs, then STOP (simulated interruption).
+  phase 2: a fresh Trainer in the same workdir auto-resumes from the
+           latest checkpoint and trains to `--epochs`.
+  end:     FID-proxy between a final sample batch and the corpus;
+           summary JSON written to <workdir>/train_run_summary.json.
+
+Usage:
+  python tools/train_run.py --workdir /tmp/run2 --generator G13_5 \
+      --discriminator D9_4 --dtype bf16 --batch 16 --epochs 6 --epochs1 2
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(args, dtype):
+    from gan_tpu.data import DataLoader, ImageFolderDataset, SyntheticDataset
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train.loop import Trainer
+
+    if args.dataroot:
+        ds = ImageFolderDataset(args.dataroot)
+    else:
+        ds = SyntheticDataset(n=args.synthetic_n, size=(64, 64), seed=0)
+    loader = DataLoader(ds, batch_size=args.batch, seed=0)
+
+    gkw = {}
+    if args.generator == "G13_5":
+        gkw = dict()
+    g = build_generator(args.generator, z_dim=args.nz, dtype=dtype, **gkw)
+    d = build_discriminator(args.discriminator, dtype=dtype)
+    return ds, loader, g, d, get_objective(args.objective)
+
+
+def make_trainer(args, dtype, num_epochs):
+    from gan_tpu.train.loop import Trainer
+
+    ds, loader, g, d, obj = build(args, dtype)
+    return ds, Trainer(
+        dataloader=loader,
+        num_epochs=num_epochs,
+        nz=args.nz,
+        generator=g,
+        generator_name=args.generator,
+        discriminator=d,
+        discriminator_name=args.discriminator,
+        objective=obj,
+        workdir=args.workdir,
+        log_every=args.log_every,
+        use_cadence=args.cadence,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--generator", default="G13_5")
+    p.add_argument("--discriminator", default="D9_4")
+    p.add_argument("--objective", default="wganlazygpR2")
+    p.add_argument("--nz", type=int, default=256)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--epochs1", type=int, default=2,
+                   help="epochs before the simulated interruption")
+    p.add_argument("--synthetic-n", type=int, default=2048)
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--cadence", action="store_true")
+    args = p.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    dtype = None
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+
+    t0 = time.time()
+    # ---- phase 1: train, then stop (simulated interruption)
+    ds, tr1 = make_trainer(args, dtype, num_epochs=args.epochs1)
+    steps_per_epoch = len(tr1.dataloader)
+    tr1.train()
+    t1 = time.time()
+    del tr1
+
+    # ---- phase 2: fresh Trainer, must auto-resume from latest ckpt
+    _, tr2 = make_trainer(args, dtype, num_epochs=args.epochs)
+    resumed_at = tr2.epoch * steps_per_epoch + tr2.i
+    assert resumed_at >= args.epochs1 * steps_per_epoch, (
+        f"resume failed: restarted at step {resumed_at}, expected >= "
+        f"{args.epochs1 * steps_per_epoch}"
+    )
+    tr2.train()
+    t2 = time.time()
+
+    # ---- evidence: FID proxy vs the corpus on a fresh sample batch
+    import jax
+    import numpy as np
+
+    from gan_tpu.eval import fid as fid_mod
+
+    n_eval = min(256, len(ds.images))
+    z = jax.random.normal(jax.random.PRNGKey(123), (64, args.nz))
+    fake = np.asarray(jax.device_get(
+        tr2._sample(tr2.state.g_params, tr2.state.g_state, z)),
+        np.float32)
+    # both streams in [0,1]: corpus uint8/255; G output ~tanh -> (x+1)/2
+    fake01 = np.clip((fake + 1.0) / 2.0, 0.0, 1.0)
+    real01 = ds.images[:n_eval].astype(np.float32) / 255.0
+    try:
+        fid_res = fid_mod.compute_fid([real01], [fake01])
+        fid_val = round(float(fid_res["value"]), 4)
+        fid_metric = fid_res["metric"]
+    except Exception as e:  # proxy never blocks the run evidence
+        fid_val, fid_metric = None, None
+        print(f"# fid proxy failed: {type(e).__name__}: {e}")
+
+    total_steps = args.epochs * steps_per_epoch
+    summary = {
+        "pair": f"{args.generator}+{args.discriminator}",
+        "objective": args.objective,
+        "dtype": args.dtype,
+        "batch": args.batch,
+        "steps_per_epoch": steps_per_epoch,
+        "epochs": args.epochs,
+        "total_steps": total_steps,
+        "resume_exercised_at_step": int(resumed_at),
+        "phase1_sec": round(t1 - t0, 1),
+        "phase2_sec": round(t2 - t1, 1),
+        "img_per_sec_phase2": round(
+            (total_steps - resumed_at) * args.batch / max(t2 - t1, 1e-9), 2),
+        "fid_proxy_final": fid_val,
+        "fid_metric": fid_metric,
+    }
+    with open(os.path.join(args.workdir, "train_run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
