@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(steps=200, batch=16, nz=64, tol=0.5):
+def run(steps=200, batch=16, nz=64, tol=0.15):
     import importlib.util
 
     import torch
@@ -125,14 +125,22 @@ def run(steps=200, batch=16, nz=64, tol=0.5):
 
     sg_t, sg_o = smooth(torch_g), smooth(ours_g)
     sd_t, sd_o = smooth(torch_d), smooth(ours_d)
-    g_gap = float(np.max(np.abs(sg_t - sg_o)))
-    d_gap = float(np.max(np.abs(sd_t - sd_o)))
+    # RELATIVE windowed gap: unlike the BCE smoke pair (losses O(1)), the
+    # WGAN critic on a noise corpus has no equilibrium — both trajectories
+    # dive to O(100) magnitudes, so the meaningful criterion is that the
+    # curves track each other relative to their scale.
+    def rel_gap(a, b):
+        scale = np.maximum(np.abs((a + b) / 2.0), 1.0)
+        return float(np.max(np.abs(a - b) / scale))
+
+    g_gap = rel_gap(sg_t, sg_o)
+    d_gap = rel_gap(sd_t, sd_o)
     result = {
         "pair": "G2(ngf=32)+D3_wgangp(ndf=32)",
         "objective": "wgangp",
         "steps": steps,
-        "g_loss_max_windowed_gap": g_gap,
-        "d_loss_max_windowed_gap": d_gap,
+        "g_loss_max_windowed_rel_gap": g_gap,
+        "d_loss_max_windowed_rel_gap": d_gap,
         "tolerance": tol,
         "pass": bool(g_gap < tol and d_gap < tol),
         "torch_g_final": float(sg_t[-1]), "ours_g_final": float(sg_o[-1]),
