@@ -120,3 +120,66 @@ def compute_fid(
     name = getattr(extractor, "name", "custom")
     metric = "fid" if name == "inception_v3" else f"fid_proxy:{name}"
     return {"value": value, "metric": metric}
+
+
+class NpzConvFeatures:
+    """Feature extractor with weights loaded from a user-provided .npz —
+    the no-egress path to REAL feature-space FID (SURVEY SS6: this
+    machine cannot download Inception weights).
+
+    npz format (documented contract, tested with a checked-in-style
+    fixture in tests/test_fid.py):
+      conv_0 .. conv_{n-1} : (kh, kw, in, out) float kernels, applied in
+                             index order as stride-2 SAME convs with
+                             LeakyReLU(0.2) between (set `strides` to
+                             override, one int per conv);
+      strides (optional)   : (n,) int array of per-conv strides;
+      name (optional)      : 0-d string; "inception_v3" marks the
+                             features as real Inception pool3 features so
+                             compute_fid reports metric "fid" instead of
+                             "fid_proxy:...".
+    Features = concat(global mean pool, global max pool) of the last map.
+    """
+
+    def __init__(self, npz_path: str):
+        blob = np.load(npz_path, allow_pickle=False)
+        ks = sorted(
+            (k for k in blob.files if k.startswith("conv_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        if not ks:
+            raise ValueError(f"{npz_path}: no conv_<i> kernels")
+        self.kernels = [jnp.asarray(blob[k], jnp.float32) for k in ks]
+        if "strides" in blob.files:
+            self.strides = [int(s) for s in blob["strides"]]
+        else:
+            self.strides = [2] * len(self.kernels)
+        self.name = (
+            str(blob["name"]) if "name" in blob.files else "npz_conv"
+        )
+
+        def feats(x):
+            x = x * 2.0 - 1.0
+            for kern, s in zip(self.kernels, self.strides):
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, kern.shape, ("NHWC", "HWIO", "NHWC")
+                )
+                x = jax.lax.conv_general_dilated(
+                    x, kern, (s, s), "SAME", dimension_numbers=dn
+                )
+                x = jax.nn.leaky_relu(x, 0.2)
+            return jnp.concatenate(
+                [jnp.mean(x, axis=(1, 2)), jnp.max(x, axis=(1, 2))], axis=-1
+            )
+
+        self._feats = jax.jit(feats)
+
+    def __call__(self, images01: jax.Array) -> np.ndarray:
+        return np.asarray(self._feats(images01))
+
+
+def inception_extractor(npz_path: str) -> NpzConvFeatures:
+    """Load a feature extractor from .npz (format: NpzConvFeatures
+    docstring). Name it "inception_v3" inside the npz when the kernels are
+    converted real Inception weights; compute_fid then reports "fid"."""
+    return NpzConvFeatures(npz_path)

@@ -163,7 +163,8 @@ _FIELD_MAP = {
 def import_state_dict(variables: Dict, state_dict, window: int = 48,
                       debug: bool = False,
                       flatten_hints: Optional[Dict[str, Tuple[int, int, int]]]
-                      = None) -> Dict:
+                      = None,
+                      name_hints: Optional[Dict[str, str]] = None) -> Dict:
     """Map `state_dict` (torch) onto `variables` (flax: {'params': ...,
     optionally 'batch_stats'/'spectral': ...}). Returns a new variables
     dict; raises ValueError with full context on any mis-alignment.
@@ -172,15 +173,35 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
     input is a FLATTENED feature map — the rebuild flattens NHWC while
     torch flattens NCHW, so the weight's input dim must be re-indexed from
     (c,h,w) to (h,w,c) (e.g. the D9 family head: {'fc1/kernel': (2,2,257)}).
+
+    name_hints: {flax-path-substring: torch-name-regex} constraining which
+    torch modules a matching flax leaf may bind — for layouts where
+    same-shape modules appear in mirrored orders on the two sides and
+    shape matching alone is ambiguous (e.g. D9_4's 3x3 SE convs register
+    before the identically-shaped down_sample conv that flax calls first:
+    {'down_conv': 'down_sample', '/se/': r'\\.se\\.'}).
     """
+    import re as _re
+
     modules = _parse_torch(state_dict)
     bindings: Dict[Tuple[str, ...], _TorchModule] = {}
     flatten_hints = flatten_hints or {}
+    name_hints = name_hints or {}
+
+    def name_ok(path: Tuple[str, ...], m: _TorchModule) -> bool:
+        joined = "/".join(path)
+        for sub, pat in name_hints.items():
+            if sub in joined and not _re.search(pat, m.name):
+                return False
+        return True
 
     def post(path: Tuple[str, ...], arr: np.ndarray) -> np.ndarray:
         joined = "/".join(path)
         for suffix, (h, w, c) in flatten_hints.items():
-            if joined.endswith(suffix) and arr.ndim == 2:
+            # exact path, or suffix match when the hint starts with '/'
+            hit = (joined == suffix
+                   or (suffix.startswith("/") and joined.endswith(suffix)))
+            if hit and arr.ndim == 2:
                 # arr is already transposed to (in, out); reindex rows
                 # from torch's (c,h,w) flatten to NHWC's (h,w,c)
                 o = arr.shape[1]
@@ -220,8 +241,19 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
         # 2. first unbound torch module (registration order, windowed)
         seen = 0
         bound = set(id(b) for b in bindings.values())
+        want_2d = np.ndim(leaf) >= 2
         for m in modules:
             if m.done or id(m) in bound:
+                continue
+            # the window counts only modules OFFERING this field at a
+            # compatible dimensionality — e.g. PReLU modules (1-D weight,
+            # one after every conv in D9_4) must not eat the lookahead
+            # for a conv-kernel request
+            f_arr = m.fields.get(field)
+            if f_arr is None or m.consumed.get(field, True) \
+                    or (f_arr.ndim >= 2) != want_2d:
+                continue
+            if not name_ok(path, m):
                 continue
             seen += 1
             if seen > window:
@@ -241,6 +273,29 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
             f"unconsumed: {avail}"
         )
 
+    by_order = {m.order: m for m in modules}
+
+    def adjacency_candidate(leaves, i):
+        """For a PReLU alpha at walk index i: torch registers the PReLU
+        right AFTER the module it activates, but flax may CALL later
+        modules' params earlier (e.g. D9_4's act3 is used before se yet
+        registered after it upstream). The registration neighbor of the
+        nearest preceding bound sibling is the right candidate."""
+        for j in range(i - 1, -1, -1):
+            pj = leaves[j][0][:-1]
+            m = bindings.get(pj)
+            if m is None:
+                continue
+            cand = by_order.get(m.order + 1)
+            if cand is None:
+                return None
+            w = cand.fields.get("weight")
+            if (w is not None and not cand.consumed["weight"]
+                    and w.ndim == 1 and "mean" not in cand.fields):
+                return cand
+            return None
+        return None
+
     def consume(tree):
         leaves = list(_walk(tree))
         mapped = {}
@@ -251,9 +306,20 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
         for path, v in leaves:
             if np.ndim(v) >= 2 and _FIELD_MAP.get(path[-1], path[-1]) == "weight":
                 mapped[path] = resolve(path, v)
-        for path, v in leaves:
-            if path not in mapped:
-                mapped[path] = resolve(path, v)
+        for i, (path, v) in enumerate(leaves):
+            if path in mapped:
+                continue
+            if path[-1] == "alpha":
+                cand = adjacency_candidate(leaves, i)
+                if cand is not None and tuple(
+                        cand.fields["weight"].shape) == tuple(np.shape(v)):
+                    cand.consumed["weight"] = True
+                    bindings[path[:-1]] = cand
+                    if debug:
+                        print(f"  {'/'.join(path)} <- {cand.name}.weight (adj)")
+                    mapped[path] = cand.fields["weight"]
+                    continue
+            mapped[path] = resolve(path, v)
 
         def rebuild(sub, prefix=()):
             new = {}

@@ -601,26 +601,37 @@ def _torch_cubic_weights(frac, a: float = -0.75):
     return np.stack([w(frac + 1.0), w(frac), w(1.0 - frac), w(2.0 - frac)])
 
 
-def _resize_axis_bicubic(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _bicubic_matrix(in_size: int, out_size: int):
+    """(out, in) torch-bicubic interpolation matrix (border-replicated
+    4-tap Keys a=-0.75). A constant matmul instead of gathers: MXU-friendly
+    forward, transpose-matmul backward, no scatter in the grad — and far
+    fewer HLO ops per resize site (the flagship has hundreds)."""
     import numpy as np
 
-    in_size = x.shape[axis]
-    if in_size == out_size:
-        return x
     scale = in_size / out_size
     src = (np.arange(out_size) + 0.5) * scale - 0.5
     base = np.floor(src).astype(np.int64)
     frac = src - base
     weights = _torch_cubic_weights(frac)  # (4, out)
-    acc = None
+    m = np.zeros((out_size, in_size), np.float32)
     for k in range(4):
         idx = np.clip(base + (k - 1), 0, in_size - 1)  # border replicate
-        shape = [1] * x.ndim
-        shape[axis] = out_size
-        w = jnp.asarray(weights[k], x.dtype).reshape(shape)
-        term = jnp.take(x, jnp.asarray(idx), axis=axis) * w
-        acc = term if acc is None else acc + term
-    return acc
+        np.add.at(m, (np.arange(out_size), idx), weights[k])
+    return m
+
+
+def _resize_axis_bicubic(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    m = jnp.asarray(_bicubic_matrix(in_size, out_size), x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.matmul(moved, m.T)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resize_bicubic(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

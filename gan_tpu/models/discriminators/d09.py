@@ -121,7 +121,12 @@ class _SelfAttention9(nn.Module):
 
 class _SEBlockConv94(nn.Module):
     """discriminator_9_4.py:83-109: gap5 + 2x[EqConv3+PReLU] + gap1 +
-    1x[EqLin+PReLU] + EqLin + sigmoid (no BN, zero-bias linears)."""
+    1x[EqLin+PReLU] + EqLin + sigmoid (no BN, zero-bias linears).
+
+    The convs are UNPADDED (reference EqualizedConv2d padding default 0):
+    5x5 -> 3x3 -> 1x1 before the gap1 — caught by the round-2 torch-import
+    golden parity (a padded version kept 5x5 throughout; same param
+    count, different value)."""
 
     dtype: jnp.dtype = None
 
@@ -131,7 +136,7 @@ class _SEBlockConv94(nn.Module):
         assert x.shape[1] >= 8
         x = sk.adaptive_avg_pool(x, 5)
         for i in range(2):
-            x = _EqConv9(c, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = _EqConv9(c, 3, padding=0, dtype=self.dtype, name=f"conv{i}")(x)
             x = core.PReLU(channels=c, dtype=self.dtype, name=f"act{i}")(x)
         z = sk.adaptive_avg_pool(x, 1).reshape(b, c)
         z = _EqLinear9(c, dtype=self.dtype, name="fc0")(z)

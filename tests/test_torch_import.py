@@ -247,3 +247,25 @@ def test_full_penalty_train_step_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
             err_msg=str(pa))
+
+
+def test_d94_thesis_critic_import_forward_parity():
+    """THE thesis critic (D9_4, 152M params): PReLU activations, v94 SE
+    gates (unpadded 5->3->1 conv trunk — a real bug this test caught),
+    blur/bicubic down-residuals, MiniBatchStdDev, equalized fc head."""
+    from gan_tpu.models.discriminators import Discriminator9_4
+
+    td = _load_ref("discriminators/discriminator_9_4.py").Discriminator()
+    td.eval()
+    d = Discriminator9_4(remat=False)
+    v = dict(d.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((4, 64, 64, 3)), train=True, update_sn=False))
+    v2 = import_state_dict(
+        v, td.state_dict(),
+        flatten_hints={"fc1/weight": (2, 2, 1025)},
+        name_hints={"down_conv": "down_sample", "/se/": r"\.se\."})
+    x = np.random.default_rng(5).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(_apply_d(d, v2, x))
+    theirs = td(_nchw(x)).detach().numpy().reshape(ours.shape)
+    assert np.abs(theirs).max() > 0.5  # non-degenerate
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
