@@ -28,6 +28,16 @@ A leaf with no compatible module in the window aborts with full context —
 a wrong pairing never silently succeeds; the numeric forward-parity tests
 (tests/test_torch_import.py) are the end check.
 
+Known limitation: flax modules under LIFTED TRANSFORMS (nn.vmap stacked
+weights — the RiR pair groups and SK fc_sub heads of the G13/G14 families)
+re-order their param dicts (sorted, not call order) and stack across
+sibling torch modules; the windowed scan cannot recover that mapping from
+shapes alone (G14's two same-shape linears per fc_sub head alias with the
+cross-head stack). Those generators' parity is covered structurally
+(param counts, tests/test_zoo_parity.py) and distributionally
+(tools/loss_parity*.py); per-value import coverage spans G1/G2/D1/D2/D3/
+D9_2/D9_4 — including both final-thesis-adjacent discriminators.
+
 Layout transforms (validated numerically in the tests):
 
   Conv kernel          (O, I/g, kh, kw) -> (kh, kw, I/g, O)
@@ -129,8 +139,9 @@ def _parse_torch(state_dict) -> List[_TorchModule]:
             continue
         arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
         mod, _, field = k.rpartition(".")
-        if field == "weight" and mod.endswith(".weight"):
+        if field in ("weight", "weights") and mod.endswith(".weight"):
             mod = mod[: -len(".weight")]  # EqualizedWeight indirection
+            field = "weight"              # (G14 names the param 'weights')
         elif field == "original" and mod.endswith(".parametrizations.weight"):
             mod = mod[: -len(".parametrizations.weight")]
             field = "weight"
@@ -209,11 +220,10 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
                     h * w * c, o)
         return arr
 
-    def field_ok(m: _TorchModule, field: str, path, leaf) -> bool:
+    def _sub_ok(m: _TorchModule, field: str, path, want_shape) -> bool:
         if field not in m.fields or m.consumed[field]:
             return False
-        arr = _transform(path, m.fields[field])
-        if tuple(arr.shape) != tuple(np.shape(leaf)):
+        if tuple(_transform(path, m.fields[field]).shape) != want_shape:
             return False
         # disambiguate 1-D weights: flax 'scale' (BatchNorm) needs a module
         # with running stats; flax 'alpha' (PReLU) needs one without
@@ -223,47 +233,91 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
             return False
         return True
 
+    def group_ok(group, field: str, path, leaf) -> bool:
+        """A binding is a LIST of torch modules: len 1 for plain modules,
+        len N for an nn.vmap-stacked flax module whose leading axis stacks
+        N torch modules (e.g. the m SK fc_sub heads)."""
+        shape = tuple(np.shape(leaf))
+        if len(group) == 1:
+            return _sub_ok(group[0], field, path, shape)
+        if not shape or shape[0] != len(group):
+            return False
+        return all(_sub_ok(m, field, path, shape[1:]) for m in group)
+
+    def draw(group, field, path):
+        for m in group:
+            m.consumed[field] = True
+        if len(group) == 1:
+            arr = _transform(path, group[0].fields[field])
+        else:
+            arr = np.stack(
+                [_transform(path, m.fields[field]) for m in group])
+        if debug:
+            names = "+".join(m.name for m in group)
+            print(f"  {'/'.join(path)} <- {names}.{field}")
+        return post(path, arr)
+
     def resolve(path: Tuple[str, ...], leaf) -> np.ndarray:
         name = path[-1]
         field = _FIELD_MAP.get(name, name)
         if field is None:
             return np.asarray(leaf)  # keep flax initialization
         parent = path[:-1]
-        # 1. a module already bound to this parent or a nested/enclosing
+        # 1. a group already bound to this parent or a nested/enclosing
         #    parent (EqualizedConv keeps bias one level above its kernel)
-        for fp, m in bindings.items():
+        for fp, group in bindings.items():
             rel = (fp[: len(parent)] == parent) or (parent[: len(fp)] == fp)
-            if rel and field_ok(m, field, path, leaf):
-                m.consumed[field] = True
-                if debug:
-                    print(f"  {'/'.join(path)} <- {m.name}.{field} (rebind)")
-                return post(path, _transform(path, m.fields[field]))
-        # 2. first unbound torch module (registration order, windowed)
-        seen = 0
-        bound = set(id(b) for b in bindings.values())
+            if rel and group_ok(group, field, path, leaf):
+                return draw(group, field, path)
+        # 2. first unbound torch module(s) (registration order, windowed)
+        bound = set()
+        for g in bindings.values():
+            bound.update(id(m) for m in g)
+        shape = tuple(np.shape(leaf))
         want_2d = np.ndim(leaf) >= 2
-        for m in modules:
-            if m.done or id(m) in bound:
-                continue
-            # the window counts only modules OFFERING this field at a
-            # compatible dimensionality — e.g. PReLU modules (1-D weight,
-            # one after every conv in D9_4) must not eat the lookahead
-            # for a conv-kernel request
-            f_arr = m.fields.get(field)
-            if f_arr is None or m.consumed.get(field, True) \
-                    or (f_arr.ndim >= 2) != want_2d:
-                continue
-            if not name_ok(path, m):
-                continue
-            seen += 1
-            if seen > window:
-                break
-            if field_ok(m, field, path, leaf):
-                bindings[parent] = m
-                m.consumed[field] = True
-                if debug:
-                    print(f"  {'/'.join(path)} <- {m.name}.{field} (bind)")
-                return post(path, _transform(path, m.fields[field]))
+
+        def scan(want_shape, want_2d_):
+            seen = 0
+            out = []
+            for m in modules:
+                if m.done or id(m) in bound or id(m) in (id(o) for o in out):
+                    continue
+                # the window counts only modules OFFERING this field at a
+                # compatible dimensionality — e.g. PReLU modules (1-D
+                # weight, one after every conv in D9_4) must not eat the
+                # lookahead for a conv-kernel request
+                f_arr = m.fields.get(field)
+                if f_arr is None or m.consumed.get(field, True) \
+                        or (f_arr.ndim >= 2) != want_2d_:
+                    continue
+                if not name_ok(path, m):
+                    continue
+                seen += 1
+                if seen > window:
+                    return out, False
+                if _sub_ok(m, field, path, want_shape):
+                    out.append(m)
+                    return out, True
+            return out, False
+
+        group, hit = scan(shape, want_2d)
+        if hit:
+            bindings[parent] = group
+            return draw(group, field, path)
+        # stacked attempt: leading axis = N stacked torch modules
+        if shape and 1 < shape[0] <= 8:
+            sub_2d = len(shape[1:]) >= 2
+            group = []
+            for _ in range(shape[0]):
+                found, hit = scan(shape[1:], sub_2d)
+                if not hit:
+                    group = None
+                    break
+                group.extend(found)
+                bound.update(id(m) for m in found)
+            if group is not None:
+                bindings[parent] = group
+                return draw(group, field, path)
         avail = [(m.name, {f: tuple(a.shape) for f, a in m.fields.items()
                            if not m.consumed[f]})
                  for m in modules if not m.done][:6]
@@ -283,10 +337,10 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
         nearest preceding bound sibling is the right candidate."""
         for j in range(i - 1, -1, -1):
             pj = leaves[j][0][:-1]
-            m = bindings.get(pj)
-            if m is None:
+            group = bindings.get(pj)
+            if group is None or len(group) != 1:
                 continue
-            cand = by_order.get(m.order + 1)
+            cand = by_order.get(group[0].order + 1)
             if cand is None:
                 return None
             w = cand.fields.get("weight")
@@ -309,12 +363,12 @@ def import_state_dict(variables: Dict, state_dict, window: int = 48,
         for i, (path, v) in enumerate(leaves):
             if path in mapped:
                 continue
-            if path[-1] == "alpha":
+            if path[-1] == "alpha" and np.ndim(v) == 1:
                 cand = adjacency_candidate(leaves, i)
                 if cand is not None and tuple(
                         cand.fields["weight"].shape) == tuple(np.shape(v)):
                     cand.consumed["weight"] = True
-                    bindings[path[:-1]] = cand
+                    bindings[path[:-1]] = [cand]
                     if debug:
                         print(f"  {'/'.join(path)} <- {cand.name}.weight (adj)")
                     mapped[path] = cand.fields["weight"]
