@@ -98,14 +98,25 @@ def _measure():
         g_name, d_name = "G2", "D3_wgangp"
         g = build_generator(g_name, dtype=dtype)
         d = build_discriminator(d_name, dtype=dtype)
+    t_start = time.perf_counter()
+
+    def mark(stage):
+        # stage timing on stderr: the flagship attempt's wall cost is
+        # dominated by init-blob load + executable load + the relay's
+        # one-time session cost, not the timed steps — this shows where
+        print(f"# t+{time.perf_counter() - t_start:7.1f}s {stage}",
+              file=sys.stderr, flush=True)
+
     obj = get_objective("wganlazygpR2")
     # flat optimizer OOMs XLA layout-padding at flagship scale (see
     # Objective.make_optimizers docstring)
     g_tx, d_tx = obj.make_optimizers(flat=not use_flagship)
     image_size = (64, 64, 3)
     rng = jax.random.PRNGKey(0)
+    mark(f"start create_state ({g_name}+{d_name} b{batch_size} {dtype_name})")
     state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
                          image_size=image_size)
+    mark("state ready")
     step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
     batch = jax.random.normal(rng, (batch_size, *image_size))
 
@@ -115,8 +126,11 @@ def _measure():
     # VALUE fetch is. Metrics chain through the donated state, so fetching
     # m proves every prior step executed.
     state, m = step(state, batch, jax.random.PRNGKey(1), 0)
+    mark("pen step dispatched (compile/load)")
     state, m = step(state, batch, jax.random.PRNGKey(2), 1)
+    mark("nopen step dispatched (compile/load)")
     jax.device_get(m)  # true barrier: drains compile/load + warmup steps
+    mark("warmup fetched")
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     # materialize per-step keys OUTSIDE the timed region: under the axon
@@ -250,12 +264,15 @@ def main():
     if os.environ.get("BENCH_INNER") == "1":
         _measure()
         return
-    budget = float(os.environ.get("BENCH_BUDGET", "1200"))
+    budget = float(os.environ.get("BENCH_BUDGET", "1500"))
     t0 = time.monotonic()
     out = None
     try:
-        # attempt 1: the default path (flagship if prewarmed)
-        out = _attempt({}, max(min(budget, 60.0), budget * 0.75))
+        # attempt 1: the default path (flagship if prewarmed). 0.8 share:
+        # the warm flagship attempt costs ~those 1200 s end to end (2 GB
+        # init blob + executable loads over the relay + the one-time
+        # ~200 s first-dispatch session cost + 20 timed steps).
+        out = _attempt({}, max(min(budget, 60.0), budget * 0.8))
         if out is None:
             # attempt 2: small warm pair, fewer steps, in what remains
             remaining = budget - (time.monotonic() - t0) - 10.0
