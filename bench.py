@@ -25,6 +25,9 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+RESOLVED = None  # (batch_size, dtype_name) the last _measure() warmed
+
+
 def _measure():
     import jax
     import jax.numpy as jnp
@@ -84,6 +87,11 @@ def _measure():
         dtype_name = req_dtype if req_dtype != "auto" else "f32"
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     marker = _marker(batch_size, dtype_name)
+    # what this run actually warms — tools/prewarm_bench.py writes its
+    # marker from this, not from raw env defaults (ADVICE r2: an existing
+    # bf16 marker can steer the scan away from the env-default pair)
+    global RESOLVED
+    RESOLVED = (batch_size, dtype_name)
 
     use_flagship = (
         os.environ.get("BENCH_FORCE_FALLBACK") != "1"

@@ -47,9 +47,15 @@ def preprocess_batch(
     if flip:
         x = random_hflip(rng, x)
     if (x.shape[1], x.shape[2]) != tuple(out_size):
-        x = jax.image.resize(
-            x, (x.shape[0], out_size[0], out_size[1], x.shape[3]), method="bicubic"
-        )
+        # torch-parity bicubic (a=-0.75, no antialias) — jax.image.resize
+        # uses the Keys a=-0.5 kernel with antialiasing, which deviates
+        # from the reference transform (ADVICE r2). Note torchvision
+        # Resize WOULD antialias on downsample; every reference dataset
+        # upsamples or is already at size (MNIST 28->64, cats 64->64), so
+        # the upsample kernel is the parity-relevant one.
+        from gan_tpu.models.core import resize_bicubic
+
+        x = resize_bicubic(x, out_size)
     return normalize(x, mean, std)
 
 

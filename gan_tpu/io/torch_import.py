@@ -74,7 +74,13 @@ def _ensure_reference_importable():
 
 def load_reference_ckpt(path: str):
     """Load a reference-format .pth: whole-module pickle (trainunits.py:
-    61-75). Returns (g_state_dict, d_state_dict, meta)."""
+    61-75). Returns (g_state_dict, d_state_dict, meta).
+
+    SECURITY: whole-module pickles EXECUTE ARBITRARY CODE on load
+    (torch.load(weights_only=False) + /root/reference on sys.path is
+    inherent to the reference's checkpoint format, SURVEY.md Appendix
+    A.7). Only call this on checkpoints you produced yourself from the
+    pinned reference tree — never on files from untrusted sources."""
     import torch
 
     _ensure_reference_importable()

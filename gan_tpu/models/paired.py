@@ -234,6 +234,8 @@ class PairedModulatedConv(nn.Module):
     """sk.ModulatedConv13 pair on folded input (B, H, W, S*Ci) ->
     (B, H, W, S*Co). One grouped conv; style/demodulate per stream."""
 
+    tp_grouped = True  # parallel/mesh.py: exclude from TP output sharding
+
     s: int
     in_ch: int
     features: int
@@ -315,6 +317,8 @@ class PairedStyleConv(nn.Module):
 
 class PairedEqualizedConvRep(nn.Module):
     """sk.EqualizedConvRep pair as one grouped conv on folded input."""
+
+    tp_grouped = True  # parallel/mesh.py: exclude from TP output sharding
 
     s: int
     in_ch: int

@@ -4,4 +4,5 @@ from gan_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     shard_params,
     param_pspecs,
+    grouped_param_prefixes,
 )

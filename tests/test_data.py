@@ -158,5 +158,7 @@ def test_mnist_preprocess_pipeline(mnist_dir):
         mean=np.asarray(ds.mean, np.float32),
         std=np.asarray(ds.std, np.float32), flip=ds.flip)
     assert out.shape == (4, 64, 64, 1)
-    # bicubic can overshoot slightly beyond the [-1, 1] data range
-    assert float(out.min()) >= -1.3 and float(out.max()) <= 1.3
+    # bicubic overshoots beyond the [-1, 1] data range; the torch-parity
+    # a=-0.75 kernel (core.resize_bicubic, no antialias) rings slightly
+    # harder than jax.image's a=-0.5 (measured -1.311 on this fixture)
+    assert float(out.min()) >= -1.35 and float(out.max()) <= 1.35

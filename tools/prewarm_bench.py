@@ -22,14 +22,19 @@ def main():
     import bench
 
     bench.main()
-    # success -> leave the warm marker so bench.py picks the flagship
+    # success -> leave the warm marker so bench.py picks the flagship.
+    # Use the (batch, dtype) the measurement actually resolved and warmed
+    # (bench.RESOLVED), not raw env defaults — the auto-scan may have
+    # picked a different pair than the env implies (ADVICE r2).
     cache_dir = os.environ.get(
         "GAN_TPU_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"),
     )
-    bs = os.environ.get("BENCH_BATCH", "16")
-    dt = os.environ.get("BENCH_DTYPE", "f32")
+    bs, dt = getattr(bench, "RESOLVED", None) or (
+        os.environ.get("BENCH_BATCH", "16"),
+        os.environ.get("BENCH_DTYPE", "f32"),
+    )
     sfx = "" if dt in ("f32", "auto") else f"_{dt}"
     open(os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}"), "w").write("ok")
 
