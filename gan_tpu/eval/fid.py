@@ -183,3 +183,55 @@ def inception_extractor(npz_path: str) -> NpzConvFeatures:
     docstring). Name it "inception_v3" inside the npz when the kernels are
     converted real Inception weights; compute_fid then reports "fid"."""
     return NpzConvFeatures(npz_path)
+
+
+def save_stats_npz(path: str, mu, cov, extractor_name: str = "custom",
+                   n: int = 0) -> None:
+    """Write feature statistics in the standard pytorch-fid layout
+    (keys mu/sigma) + provenance (extractor name, sample count)."""
+    np.savez(path, mu=np.asarray(mu, np.float64),
+             sigma=np.asarray(cov, np.float64),
+             extractor=np.asarray(extractor_name), n=np.asarray(n))
+
+
+def load_stats_npz(path: str) -> tuple:
+    """Load (mu, cov[, extractor_name]) from a stats .npz. Accepts the
+    pytorch-fid/cleanfid convention (keys ``mu``/``sigma``) or
+    ``mu``/``cov`` — so a cats-faces stats file produced elsewhere with
+    pytorch-fid drops in directly (docs/FID.md)."""
+    blob = np.load(path, allow_pickle=False)
+    mu = np.asarray(blob["mu"], np.float64)
+    key = "sigma" if "sigma" in blob.files else "cov"
+    cov = np.asarray(blob[key], np.float64)
+    name = str(blob["extractor"]) if "extractor" in blob.files else "unknown"
+    return mu, cov, name
+
+
+def fid_from_npz(
+    stats_npz: str,
+    fake_batches: Iterable[np.ndarray],
+    extractor: Optional[Callable] = None,
+) -> dict:
+    """FID of an image stream against PRECOMPUTED real-set statistics.
+
+    The real side comes from a stats .npz (load_stats_npz formats); the
+    fake side is featurized with `extractor`, which MUST be the same
+    feature space the stats were computed in (pass
+    inception_extractor(...) for a converted real-Inception stats file;
+    the default RandomConvFeatures only matches stats produced by
+    tools/export_fid_stats.py with the same seed/dim). Reports metric
+    "fid" only when both sides declare inception_v3."""
+    if extractor is None:
+        extractor = RandomConvFeatures()
+    mu_r, cov_r, stats_name = load_stats_npz(stats_npz)
+    mu_f, cov_f = feature_stats(fake_batches, extractor)
+    if mu_f.shape != mu_r.shape:
+        raise ValueError(
+            f"feature dim mismatch: stats {mu_r.shape} vs extractor "
+            f"{mu_f.shape} — stats and extractor must share a feature space")
+    value = frechet_distance(mu_r, cov_r, mu_f, cov_f)
+    ex_name = getattr(extractor, "name", "custom")
+    metric = ("fid" if ex_name == "inception_v3"
+              and stats_name in ("inception_v3", "unknown")
+              else f"fid_proxy:{ex_name}")
+    return {"value": value, "metric": metric, "stats_extractor": stats_name}

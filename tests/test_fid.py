@@ -41,6 +41,55 @@ def test_npz_extractor_matches_source_weights(tmp_path):
     assert r2["metric"] == "fid_proxy:npz_conv"
 
 
+def test_fid_from_npz_end_to_end(tmp_path):
+    """Full stats-npz wiring (VERDICT r2 #9): export real-set statistics
+    through the tool path (pytorch-fid mu/sigma key layout), then score a
+    fake stream against the file. Identical streams ~ 0; shifted ones
+    clearly positive; a mismatched extractor dim is a hard error."""
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from gan_tpu.eval import fid
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs" / "c"
+    d.mkdir(parents=True)
+    real = rng.uniform(size=(24, 64, 64, 3)).astype(np.float32)
+    for i, im in enumerate(real):
+        Image.fromarray((im * 255).astype(np.uint8)).save(d / f"{i}.png")
+
+    stats = str(tmp_path / "real_stats.npz")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(fid.__file__))))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export_fid_stats.py"),
+         str(tmp_path / "imgs"), stats, "--batch", "8"],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    mu, cov, name = fid.load_stats_npz(stats)
+    assert name == "random_conv" and mu.shape == (512,)
+
+    # the images as loaded (uint8 roundtrip) vs themselves -> ~0
+    loaded = np.stack([np.asarray(Image.open(d / f"{i}.png"), np.float32)
+                       for i in range(24)]) / 255.0
+    same = fid.fid_from_npz(stats, [loaded[:8], loaded[8:16], loaded[16:]])
+    assert same["metric"] == "fid_proxy:random_conv"
+    assert same["value"] < 1e-3
+
+    shifted = fid.fid_from_npz(stats, [np.clip(loaded + 0.3, 0, 1)])
+    assert shifted["value"] > 10 * max(same["value"], 1e-9)
+
+    # extractor/stats feature-space mismatch must not silently compare
+    import pytest
+
+    with pytest.raises(ValueError):
+        fid.fid_from_npz(stats, [loaded],
+                         extractor=fid.RandomConvFeatures(dim=128))
+
+
 def test_npz_inception_name_reports_fid(tmp_path):
     rng = np.random.default_rng(2)
     imgs = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
