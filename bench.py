@@ -220,17 +220,19 @@ def _measure():
         pass
     vs = ips / baseline if baseline > 0 else 0.0
 
-    print(json.dumps({
+    result = {
         "metric": f"images/sec/chip (64x64, {g_name}+{d_name} wganlazygpR2, "
                   f"batch {batch_size}, {dtype_name}"
                   f"{', cadence' if use_cadence else ''})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    print(json.dumps(result))
     # NOTE: deliberately no warm-marker write here — a measurement tool
     # must not mutate the cache state it trusts (tools/prewarm_bench.py
     # owns the markers).
+    return result
 
 
 def _attempt(extra_env: dict, timeout_s: float):
@@ -268,10 +270,51 @@ def _attempt(extra_env: dict, timeout_s: float):
     return None
 
 
+def _cache_fingerprint() -> str:
+    """Fingerprint of the warm-cache state a measured marker depends on:
+    the LARGE persistent-cache executables (>50 MB — the flagship step
+    programs; small unrelated test programs must not invalidate a valid
+    number). If the flagship program set changes, an older measured
+    number no longer describes the program bench would run."""
+    import glob
+    import hashlib
+
+    cache_dir = os.environ.get(
+        "GAN_TPU_COMPILE_CACHE", os.path.join(_REPO, ".jax_cache"))
+    ents = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(os.path.join(cache_dir, "jit_*"))
+        if os.path.getsize(p) > 50_000_000
+    )
+    return hashlib.sha256(repr(ents).encode()).hexdigest()[:16]
+
+
+def _measured_marker_path() -> str:
+    cache_dir = os.environ.get(
+        "GAN_TPU_COMPILE_CACHE", os.path.join(_REPO, ".jax_cache"))
+    return os.path.join(cache_dir, "BENCH_MEASURED.json")
+
+
+def _load_measured_marker():
+    """A prewarm-time measurement bench may fall back to when the live
+    attempts blow the budget (relay session stalls of 183-950 s are a
+    known mode, docs/evidence/). Only trusted when the cache fingerprint
+    still matches — same executables, same code."""
+    try:
+        with open(_measured_marker_path()) as f:
+            rec = json.load(f)
+        if rec.get("fingerprint") != _cache_fingerprint():
+            return None
+        out = rec["result"]
+        out["metric"] += " [prewarm-time measurement; live attempt timed out]"
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def main():
     if os.environ.get("BENCH_INNER") == "1":
-        _measure()
-        return
+        return _measure()
     budget = float(os.environ.get("BENCH_BUDGET", "1500"))
     t0 = time.monotonic()
     out = None
@@ -292,6 +335,11 @@ def main():
                 )
     except Exception as e:  # the supervisor itself must never die silently
         sys.stderr.write(f"# bench supervisor error: {type(e).__name__}: {e}\n")
+    if out is None:
+        out = _load_measured_marker()
+        if out is not None:
+            sys.stderr.write("# falling back to prewarm-time measured "
+                             "marker (fingerprint-fresh)\n")
     if out is None:
         out = {
             "metric": "images/sec/chip (64x64, wganlazygpR2) — "

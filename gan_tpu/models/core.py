@@ -235,6 +235,36 @@ class Linear(nn.Module):
         )(x)
 
 
+# --- BatchNorm variance mode -------------------------------------------------
+#
+# flax's default "fast variance" (E[x^2] - E[x]^2, one pass) catastrophically
+# cancels when batch statistics are near-degenerate: in a B=2 golden-parity
+# run the G13_5 style vectors came out ~6e-4 off torch (which computes
+# variance exactly), compounding to O(0.5) relative through the full tree.
+# Production keeps the fast one-pass form (quality-neutral at training batch
+# sizes over B*H*W samples, and the warm flagship compile cache is built on
+# it); value-level parity runs switch to exact two-pass variance with this
+# context manager. Trace-time state: it affects modules traced while active.
+
+_EXACT_VARIANCE = False
+
+
+def exact_batchnorm_variance():
+    """Context manager: trace BatchNorms with exact (two-pass) variance."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _EXACT_VARIANCE
+        prev, _EXACT_VARIANCE = _EXACT_VARIANCE, True
+        try:
+            yield
+        finally:
+            _EXACT_VARIANCE = prev
+
+    return _ctx()
+
+
 class BatchNorm(nn.Module):
     """torch-parity BatchNorm2d: eps 1e-5, momentum 0.1 (flax momentum 0.9),
     scale=1/bias=0 init (or DCGAN init), batch statistics during training.
@@ -260,6 +290,7 @@ class BatchNorm(nn.Module):
             scale_init=self.scale_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
+            use_fast_variance=not _EXACT_VARIANCE,
         )(x)
 
 

@@ -126,6 +126,7 @@ class BatchNorm1d(nn.Module):
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
+            use_fast_variance=not core._EXACT_VARIANCE,
         )(x)
 
 

@@ -252,6 +252,62 @@ def test_full_penalty_train_step_parity():
             err_msg=str(pa))
 
 
+@pytest.mark.skipif(
+    os.environ.get("GAN_TPU_SLOW_TESTS") != "1",
+    reason="~20 min eager CPU run; set GAN_TPU_SLOW_TESTS=1 "
+           "(tools/g135_parity.py runs the same check standalone and "
+           "writes docs/evidence/g135_parity.json)")
+def test_g135_import_forward_parity():
+    """THE thesis generator (G13_5): name-directed import of reference
+    weights (io/torch_import_g13.py — covers the nn.vmap-stacked
+    group_dd/group_nodd pairs and fc_subs heads the windowed importer
+    cannot map), noise scales zeroed both sides, forward parity in eval
+    AND train BN modes (exact-variance context; VERDICT r2 missing #2).
+    Evidence of the last full run: docs/evidence/g135_parity.json."""
+    from gan_tpu.models import core
+    from gan_tpu.models.generators.g13_5 import Generator13_5
+    from gan_tpu.io.torch_import_g13 import import_g13_5
+
+    torch.manual_seed(0)
+    tg = _load_ref("generators/generator_13_5.py").Generator(
+        z_dim=32, planes=8)
+    g = Generator13_5(z_dim=32, planes=8, remat=False)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    v = jax.tree_util.tree_map(
+        np.asarray, dict(g.init(rngs, jnp.zeros((2, 32)), train=True)))
+    v2 = import_g13_5(v, tg.state_dict())
+
+    def zero_noise(tree):
+        return {k: (np.zeros_like(x) if k == "scale_noise" else x)
+                if not hasattr(x, "items") else zero_noise(x)
+                for k, x in tree.items()}
+
+    v2["params"] = zero_noise(v2["params"])
+    with torch.no_grad():
+        for n, p in tg.named_parameters():
+            if n.endswith("scale_noise"):
+                p.zero_()
+    z = np.random.default_rng(7).normal(size=(8, 32)).astype(np.float32)
+    for train in (False, True):
+        tg.train(train)
+        with torch.no_grad():
+            theirs = tg(torch.from_numpy(z).reshape(8, 32, 1, 1)) \
+                .numpy().transpose(0, 2, 3, 1)
+        with core.exact_batchnorm_variance():
+            out = g.apply(
+                {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+                jnp.asarray(z), train=train,
+                rngs={"noise": jax.random.PRNGKey(2)},
+                **({"mutable": ["batch_stats"]} if train else {}))
+        ours = np.asarray(out[0] if train else out)
+        scale = np.abs(theirs).max()
+        assert scale > 0.05
+        # train-mode BN at small batch amplifies f32 noise ~1/sqrt(var)
+        # per layer (see tools/g135_parity.py); eval is the exact check
+        assert np.abs(ours - theirs).max() / scale < (1e-4 if not train
+                                                      else 1e-3)
+
+
 def test_d94_thesis_critic_import_forward_parity():
     """THE thesis critic (D9_4, 152M params): PReLU activations, v94 SE
     gates (unpadded 5->3->1 conv trunk — a real bug this test caught),

@@ -21,7 +21,17 @@ def main():
     os.environ["BENCH_INNER"] = "1"
     import bench
 
-    bench.main()
+    result = bench.main()
+    # Write the freshness-checked measured marker: the number bench.py
+    # may fall back to when a live attempt blows its budget (relay
+    # session stalls). Tied to the cache fingerprint + repo HEAD so a
+    # stale number is never reported for a changed program.
+    if result and result.get("value", 0) > 0:
+        import json
+
+        with open(bench._measured_marker_path(), "w") as f:
+            json.dump({"fingerprint": bench._cache_fingerprint(),
+                       "result": result}, f)
     # success -> leave the warm marker so bench.py picks the flagship.
     # Use the (batch, dtype) the measurement actually resolved and warmed
     # (bench.RESOLVED), not raw env defaults — the auto-scan may have

@@ -45,7 +45,20 @@ def build(args, dtype):
         gkw = dict()
     g = build_generator(args.generator, z_dim=args.nz, dtype=dtype, **gkw)
     d = build_discriminator(args.discriminator, dtype=dtype)
-    return ds, loader, g, d, get_objective(args.objective)
+    obj = get_objective(args.objective)
+    # endurance-run cadence overrides: per-30-iter grid dumps cost ~6x
+    # wall throughput over the relay (r2 SUMMARY: 2.4 img/s wall vs 15.6+
+    # steady); the reference's own video cadence is one grid / 200 iters
+    import dataclasses
+
+    over = {}
+    if args.image_every is not None:
+        over["image_every"] = args.image_every
+    if args.record_every is not None:
+        over["record_every"] = args.record_every
+    if over:
+        obj = dataclasses.replace(obj, **over)
+    return ds, loader, g, d, obj
 
 
 def make_trainer(args, dtype, num_epochs):
@@ -78,12 +91,29 @@ def main():
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--epochs1", type=int, default=2,
                    help="epochs before the simulated interruption")
+    p.add_argument("--resume-points", default=None,
+                   help="comma-separated epoch cut points for a multi-"
+                        "resume endurance run, e.g. '2,4,6' with "
+                        "--epochs 8 -> 4 phases / 3 resumes "
+                        "(overrides --epochs1)")
+    p.add_argument("--image-every", type=int, default=None,
+                   help="override the objective's sample-grid cadence")
+    p.add_argument("--record-every", type=int, default=None,
+                   help="override the objective's record cadence")
     p.add_argument("--synthetic-n", type=int, default=2048)
     p.add_argument("--dataroot", default=None)
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--cadence", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform in-process (e.g. cpu — "
+                        "shell-level JAX_PLATFORMS is pinned to axon)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.workdir, exist_ok=True)
     dtype = None
@@ -93,21 +123,38 @@ def main():
         dtype = jnp.bfloat16
 
     t0 = time.time()
-    # ---- phase 1: train, then stop (simulated interruption)
-    ds, tr1 = make_trainer(args, dtype, num_epochs=args.epochs1)
-    steps_per_epoch = len(tr1.dataloader)
-    tr1.train()
-    t1 = time.time()
-    del tr1
+    # phase boundaries (in epochs): each boundary = train -> STOP
+    # (simulated interruption) -> fresh Trainer auto-resumes
+    if args.resume_points:
+        cuts = [int(c) for c in args.resume_points.split(",")]
+    else:
+        cuts = [args.epochs1]
+    assert all(0 < c < args.epochs for c in cuts) and cuts == sorted(cuts)
+    phases = cuts + [args.epochs]
 
-    # ---- phase 2: fresh Trainer, must auto-resume from latest ckpt
-    _, tr2 = make_trainer(args, dtype, num_epochs=args.epochs)
-    resumed_at = tr2.epoch * steps_per_epoch + tr2.i
-    assert resumed_at >= args.epochs1 * steps_per_epoch, (
-        f"resume failed: restarted at step {resumed_at}, expected >= "
-        f"{args.epochs1 * steps_per_epoch}"
-    )
-    tr2.train()
+    phase_times = []
+    resumes = []
+    tr2 = None
+    steps_per_epoch = None
+    ds = None
+    for pi, target_epochs in enumerate(phases):
+        tp0 = time.time()
+        ds_i, tr = make_trainer(args, dtype, num_epochs=target_epochs)
+        ds = ds_i
+        if steps_per_epoch is None:
+            steps_per_epoch = len(tr.dataloader)
+        resumed_at = tr.epoch * steps_per_epoch + tr.i
+        if pi > 0:
+            assert resumed_at >= phases[pi - 1] * steps_per_epoch, (
+                f"resume failed: phase {pi} restarted at step {resumed_at},"
+                f" expected >= {phases[pi - 1] * steps_per_epoch}")
+            resumes.append(resumed_at)
+            print(f"# phase {pi}: resumed at step {resumed_at}")
+        tr.train()
+        phase_times.append(round(time.time() - tp0, 1))
+        tr2 = tr
+        if pi < len(phases) - 1:
+            del tr
     t2 = time.time()
 
     # ---- evidence: FID proxy vs the corpus on a fresh sample batch
@@ -133,6 +180,8 @@ def main():
         print(f"# fid proxy failed: {type(e).__name__}: {e}")
 
     total_steps = args.epochs * steps_per_epoch
+    last_phase_steps = total_steps - (phases[-2] * steps_per_epoch
+                                      if len(phases) > 1 else 0)
     summary = {
         "pair": f"{args.generator}+{args.discriminator}",
         "objective": args.objective,
@@ -141,11 +190,13 @@ def main():
         "steps_per_epoch": steps_per_epoch,
         "epochs": args.epochs,
         "total_steps": total_steps,
-        "resume_exercised_at_step": int(resumed_at),
-        "phase1_sec": round(t1 - t0, 1),
-        "phase2_sec": round(t2 - t1, 1),
-        "img_per_sec_phase2": round(
-            (total_steps - resumed_at) * args.batch / max(t2 - t1, 1e-9), 2),
+        "resumes_exercised_at_steps": [int(r) for r in resumes],
+        "phase_sec": phase_times,
+        "total_sec": round(t2 - t0, 1),
+        "img_per_sec_last_phase": round(
+            last_phase_steps * args.batch / max(phase_times[-1], 1e-9), 2),
+        "img_per_sec_wall": round(
+            total_steps * args.batch / max(t2 - t0, 1e-9), 2),
         "fid_proxy_final": fid_val,
         "fid_metric": fid_metric,
     }
