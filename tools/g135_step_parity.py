@@ -86,11 +86,11 @@ def main():
     g = Generator13_5(z_dim=Z, planes=PLANES, remat=False)
     d = Discriminator9_4(remat=False)
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
-    gv = jax.tree_util.tree_map(
-        np.asarray, dict(g.init(rngs, jnp.zeros((B, Z)), train=True)))
-    dv = jax.tree_util.tree_map(
-        np.asarray, dict(d.init(rngs, jnp.zeros((B, 64, 64, 3)), train=True,
-                                update_sn=False)))
+    # keep the RAW init dicts: tree_map rebuilds dicts in sorted key
+    # order, destroying the call-order walk the windowed importer needs
+    gv = dict(g.init(rngs, jnp.zeros((B, Z)), train=True))
+    dv = dict(d.init(rngs, jnp.zeros((B, 64, 64, 3)), train=True,
+                     update_sn=False))
     print(f"# flax pair init ({time.time() - t0:.0f}s)")
 
     gv = import_g13_5(gv, tg.state_dict())
@@ -252,14 +252,11 @@ def main():
         # grads carry no running stats; template is params-only
         return import_g13_5(vars_, sd)
 
-    dg_rel = max_rel(f_dgrads, t_dgrads, import_d,
-                     jax.tree_util.tree_map(np.asarray, dv["params"]),
-                     d_scale)
+    # templates passed RAW (dict order = call order; see init note above)
+    dg_rel = max_rel(f_dgrads, t_dgrads, import_d, dv["params"], d_scale)
     print(f"# D grad max rel-to-peak err: {dg_rel:.2e} "
           f"(peak |grad| {d_scale:.3e})")
-    gg_rel = max_rel(f_ggrads, t_ggrads, import_g,
-                     jax.tree_util.tree_map(np.asarray, gv["params"]),
-                     g_scale)
+    gg_rel = max_rel(f_ggrads, t_ggrads, import_g, gv["params"], g_scale)
     print(f"# G grad max rel-to-peak err: {gg_rel:.2e} "
           f"(peak |grad| {g_scale:.3e})")
     assert dg_rel < 1e-2 and gg_rel < 1e-2
