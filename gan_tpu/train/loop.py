@@ -128,6 +128,7 @@ class Trainer:
                 rngs={"noise": jax.random.PRNGKey(0)},
             )
         )
+        self._make_keys = None  # built per dataloader length (train())
 
     # ------------------------------------------------------------------
 
@@ -142,12 +143,20 @@ class Trainer:
         t0 = time.time()
         n_imgs = 0
         for epoch in range(self.epoch, self.num_epochs):
-            # one key-split per epoch, not per step: under the axon relay
-            # every eager op is a host->service round trip, so per-step
-            # splits would serialize into the jitted-step pipeline
+            # one key-split per epoch, not per step — AND the per-step keys
+            # must be DEVICE-RESIDENT SINGLES: a host (numpy) key argument
+            # on the donated step dispatch costs ~4.5 s/step of synchronous
+            # transfer over the relay, vs 0.86 s/step with device keys
+            # (measured, tools/diag_step_overhead.py: A=0.863 device batch
+            # +keys, D=5.361 same program with numpy keys, B=14.273 with a
+            # numpy batch). One jitted call returns a TUPLE of keys so each
+            # is its own device buffer passed by reference below.
             n = max(len(self.dataloader), 1)
-            epoch_keys = np.asarray(jax.random.split(self.rng, 2 * n + 1))
-            self.rng = jax.numpy.asarray(epoch_keys[0])
+            if self._make_keys is None:
+                self._make_keys = jax.jit(
+                    lambda k: tuple(jax.random.split(k, 2 * n + 1)))
+            epoch_keys = self._make_keys(self.rng)
+            self.rng = epoch_keys[0]
             prep_keys = epoch_keys[1 : n + 1]
             step_keys = epoch_keys[n + 1 :]
             k = obj.lazy_interval if self.use_cadence else 1

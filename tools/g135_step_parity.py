@@ -263,12 +263,12 @@ def main():
 
     out = {"batch": B, "z_dim": Z, "planes": PLANES,
            "d9_4": "full (f=64)", "scalars": scalars,
-           "d_grad_max_rel_to_peak": dg_rel,
-           "g_grad_max_rel_to_peak": gg_rel, "status": "PASS"}
+           "d_grad_max_rel_to_peak": float(dg_rel),
+           "g_grad_max_rel_to_peak": float(gg_rel), "status": "PASS"}
     with open("docs/evidence/g135_step_parity.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"status": "PASS", "d_grad_rel": dg_rel,
-                      "g_grad_rel": gg_rel}))
+    print(json.dumps({"status": "PASS", "d_grad_rel": float(dg_rel),
+                      "g_grad_rel": float(gg_rel)}))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class DeviceResidentLoader:
+    """Keeps the normalized corpus ON DEVICE and gathers batches there.
+
+    The per-step host->device batch upload plus the separate preprocess
+    dispatch cost multiple relay round trips each step (r3 measured the
+    Trainer loop at ~6.6 s/step vs bench's 1.1 s/step on the same warm
+    program — tools/diag_step_overhead.py isolates the variants). Batches
+    yielded by this loader are device arrays: the Trainer runs with
+    preprocess=False and the only per-step host payloads are the tiny
+    index/key arrays."""
+
+    def __init__(self, ds, batch_size, seed=0):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gan_tpu.data.augment import normalize, random_hflip
+
+        self.batch_size = batch_size
+        images = np.asarray(ds.images)
+        self.n = len(images)
+        self._nb = self.n // batch_size
+        self._rng = np.random.default_rng(seed)
+        mean = np.asarray(ds.mean, np.float32)
+        std = np.asarray(ds.std, np.float32)
+        corpus = jax.device_put(images)
+        self._data = jax.jit(
+            lambda c: normalize(c.astype(jnp.float32) / 255.0, mean, std)
+        )(corpus)
+        flip = bool(getattr(ds, "flip", True))
+        self._gather = jax.jit(
+            (lambda d, idx, key: random_hflip(key, d[idx])) if flip
+            else (lambda d, idx, key: d[idx])
+        )
+
+    def __len__(self):
+        return self._nb
+
+    def __iter__(self):
+        import jax
+        import numpy as np
+
+        perm = self._rng.permutation(self.n)[: self._nb * self.batch_size]
+        perm = perm.reshape(self._nb, self.batch_size).astype(np.int32)
+        seed = int(self._rng.integers(0, 2**31 - 1))
+        for i in range(self._nb):
+            yield self._gather(self._data, perm[i],
+                               jax.random.PRNGKey(seed + i))
+
+
 def build(args, dtype):
     from gan_tpu.data import DataLoader, ImageFolderDataset, SyntheticDataset
     from gan_tpu.models import build_generator, build_discriminator
@@ -38,7 +88,10 @@ def build(args, dtype):
         ds = ImageFolderDataset(args.dataroot)
     else:
         ds = SyntheticDataset(n=args.synthetic_n, size=(64, 64), seed=0)
-    loader = DataLoader(ds, batch_size=args.batch, seed=0)
+    if args.on_device_data:
+        loader = DeviceResidentLoader(ds, batch_size=args.batch, seed=0)
+    else:
+        loader = DataLoader(ds, batch_size=args.batch, seed=0)
 
     gkw = {}
     if args.generator == "G13_5":
@@ -77,6 +130,7 @@ def make_trainer(args, dtype, num_epochs):
         workdir=args.workdir,
         log_every=args.log_every,
         use_cadence=args.cadence,
+        preprocess=not args.on_device_data,
     )
 
 
@@ -108,6 +162,9 @@ def main():
     p.add_argument("--platform", default=None,
                    help="force a jax platform in-process (e.g. cpu — "
                         "shell-level JAX_PLATFORMS is pinned to axon)")
+    p.add_argument("--on-device-data", action="store_true",
+                   help="device-resident normalized corpus + on-device "
+                        "batch gather (DeviceResidentLoader docstring)")
     args = p.parse_args()
 
     if args.platform:
