@@ -58,10 +58,16 @@ class DeviceResidentLoader:
             lambda c: normalize(c.astype(jnp.float32) / 255.0, mean, std)
         )(corpus)
         flip = bool(getattr(ds, "flip", True))
+        # flip key derived INSIDE the jitted gather (fold_in on the batch's
+        # first corpus index): a per-step eager PRNGKey() is a remote
+        # round trip under the axon relay (see diag_step_overhead.py)
         self._gather = jax.jit(
-            (lambda d, idx, key: random_hflip(key, d[idx])) if flip
-            else (lambda d, idx, key: d[idx])
+            (lambda d, idx, ekey: random_hflip(
+                jax.random.fold_in(ekey, idx[0]), d[idx])) if flip
+            else (lambda d, idx, ekey: d[idx])
         )
+        self._base_key = jax.random.PRNGKey(seed)  # one eager op, once
+        self._epoch = 0
 
     def __len__(self):
         return self._nb
@@ -72,10 +78,10 @@ class DeviceResidentLoader:
 
         perm = self._rng.permutation(self.n)[: self._nb * self.batch_size]
         perm = perm.reshape(self._nb, self.batch_size).astype(np.int32)
-        seed = int(self._rng.integers(0, 2**31 - 1))
+        self._epoch += 1
+        ekey = jax.random.fold_in(self._base_key, self._epoch)  # 1/epoch
         for i in range(self._nb):
-            yield self._gather(self._data, perm[i],
-                               jax.random.PRNGKey(seed + i))
+            yield self._gather(self._data, perm[i], ekey)
 
 
 def build(args, dtype):
