@@ -47,6 +47,7 @@ class Trainer:
         preprocess: bool = True,
         log_every: int = 50,
         use_cadence: bool = False,
+        sync_every: int = 0,
     ):
         enable_compilation_cache()
         self.dataloader = dataloader
@@ -129,6 +130,13 @@ class Trainer:
             )
         )
         self._make_keys = None  # built per dataloader length (train())
+        # sync_every > 0: fetch one metric scalar every N steps to keep
+        # the relay's dispatch queue SHALLOW. This relay serves per-step
+        # fetches cheaply (bench debug: ~0.1 s) but a fetch issued after
+        # hundreds of queued steps stalls for minutes ("first fetch after
+        # large queue build-ups", docs/evidence/kernel_breakdown caveat) —
+        # artifact cadences like image_every=200 hit exactly that mode.
+        self.sync_every = sync_every
 
     # ------------------------------------------------------------------
 
@@ -196,6 +204,8 @@ class Trainer:
                     )
                     done = [(i, metrics)]
                 n_imgs += batch.shape[0]
+                if self.sync_every and i % self.sync_every == 0 and done:
+                    jax.device_get(done[-1][1]["g_loss"])
 
                 for si, metrics in done:
                     self._bookkeep(epoch, si, metrics, t0, n_imgs)

@@ -100,7 +100,7 @@ def test_grouped_conv_tp_exclusion():
     import flax.linen as nn
     import pytest
     from gan_tpu.models.core import Conv
-    from gan_tpu.parallel import grouped_param_prefixes, shard_params
+    from gan_tpu.parallel import grouped_param_prefixes, shard_params, param_pspecs
 
     class M(nn.Module):
         @nn.compact
@@ -122,9 +122,21 @@ def test_grouped_conv_tp_exclusion():
     mesh = create_mesh(n_data=4, n_model=2)
     xs = jax.device_put(x, batch_sharding(mesh))
 
-    # old rule (no exclusion) must fail to partition the depthwise conv
-    with pytest.raises(Exception):
-        jax.block_until_ready(f(shard_params(p, mesh, min_size=2), xs))
+    # the depthwise kernel must stay replicated under the exclusion
+    # (the hard GSPMD failure the old rule hit — "Expected output feature
+    # dimension ... divisible by feature_group_count" — needs an
+    # odd-width consumer chain; the n_model^2 divisibility rule in
+    # _leaf_pspec now prevents those shardings wholesale, so this test
+    # pins the metadata exclusion + numerical equivalence instead)
+    specs = param_pspecs(p, mesh, min_size=2, exclude=excl)
+    flat = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_leaves_with_path(
+                jax.tree_util.tree_map(lambda s: s, specs,
+                                       is_leaf=lambda s: isinstance(
+                                           s, jax.sharding.PartitionSpec)))}
+    depthwise = [v for k, v in flat.items() if "Conv_1" in k and "kernel" in k]
+    assert depthwise and all(s == jax.sharding.PartitionSpec()
+                             for s in depthwise)
 
     g_tp = f(shard_params(p, mesh, min_size=2, exclude=excl), xs)
     for a, b in zip(jax.tree_util.tree_leaves(g_single),

@@ -137,6 +137,7 @@ def make_trainer(args, dtype, num_epochs):
         log_every=args.log_every,
         use_cadence=args.cadence,
         preprocess=not args.on_device_data,
+        sync_every=args.sync_every,
     )
 
 
@@ -171,6 +172,9 @@ def main():
     p.add_argument("--on-device-data", action="store_true",
                    help="device-resident normalized corpus + on-device "
                         "batch gather (DeviceResidentLoader docstring)")
+    p.add_argument("--sync-every", type=int, default=0,
+                   help="fetch a metric scalar every N steps (keeps the "
+                        "relay queue shallow; see Trainer.sync_every)")
     args = p.parse_args()
 
     if args.platform:
