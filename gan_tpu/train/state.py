@@ -110,6 +110,132 @@ def _stable_dumps(obj) -> bytes:
     return buf.getvalue()
 
 
+def _module_signature(obj) -> bytes:
+    """Canonical bytes for a module-config tree: class identity plus the
+    NON-DEFAULT dataclass fields only. Used (alongside the structural
+    signature) as the init-blob cache key — skipping default-valued fields
+    means ADDING a new config field with a default (e.g.
+    Generator13_5.style_bank) does not invalidate every existing blob,
+    while still catching value-affecting config differences (the ADVICE r2
+    medium: distinct init distributions under identical structure).
+
+    Existing blobs keyed under the older full-pickle scheme are adopted by
+    tools/rekey_init_blob.py (the hash bytes of that scheme cannot be
+    reproduced once a class gains a field)."""
+    import dataclasses
+
+    def canon(o):
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            items = []
+            for f in dataclasses.fields(o):
+                if f.name in ("parent", "name"):  # flax plumbing
+                    continue
+                v = getattr(o, f.name, None)
+                default = f.default
+                if default is dataclasses.MISSING and \
+                        f.default_factory is not dataclasses.MISSING:
+                    default = f.default_factory()
+                try:
+                    if default is not dataclasses.MISSING and v == default:
+                        continue
+                except Exception:
+                    pass
+                items.append((f.name, canon(v)))
+            return (type(o).__module__, type(o).__qualname__, tuple(items))
+        if isinstance(o, (list, tuple)):
+            return ("seq", tuple(canon(x) for x in o))
+        if isinstance(o, dict):
+            return ("map", tuple(sorted((str(k), canon(v))
+                                        for k, v in o.items())))
+        return repr(o)
+
+    return repr(canon(obj)).encode()
+
+
+def init_cache_info(g_model, d_model, seed, batch_size, image_size):
+    """(template, cache_file) for the init-blob cache: the abstract variable
+    structure (eval_shape of both inits) and the blob path keyed on
+    structure + seed + the normalized module signature. Shared by
+    create_state's subprocess path and the offline blob tools
+    (tools/rekey_init_blob.py, tools/bank_blob.py)."""
+    import hashlib
+    import os
+
+    def _f32(m):
+        try:
+            return m.clone(dtype=None) if getattr(m, "dtype", None) is not None else m
+        except Exception:
+            return m
+
+    def _norm_impl(m):
+        if getattr(m, "rir_impl", None) is not None:
+            try:
+                return m.clone(rir_impl="vmap")
+            except Exception:
+                return m
+        return m
+
+    def _norm_perf(m):
+        if getattr(m, "remat", None) not in (None, True):
+            try:
+                return m.clone(remat=True)
+            except Exception:
+                return m
+        return m
+
+    g_model = _norm_perf(_norm_impl(_f32(g_model)))
+    d_model = _norm_perf(_norm_impl(_f32(d_model)))
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    template = jax.eval_shape(
+        lambda: {
+            "g": dict(g_model.init(
+                rngs, jnp.zeros((batch_size, g_model.z_dim)), train=True)),
+            "d": dict(d_model.init(
+                rngs, jnp.zeros((batch_size, *image_size)), train=True,
+                update_sn=False)),
+        }
+    )
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    sig = [(jax.tree_util.keystr(p), tuple(l.shape), str(l.dtype))
+           for p, l in flat]
+    spec = repr((sig, seed)).encode() + _module_signature((g_model, d_model))
+    cache_dir = os.environ.get(
+        "GAN_TPU_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
+    cache_file = os.path.join(
+        cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
+    legacy_keys = (
+        repr((sig, seed)).encode() + _stable_dumps((g_model, d_model)),
+        repr((sig, seed)).encode(),
+        _stable_dumps((g_model, d_model, seed, tuple(image_size))),
+    )
+    return template, cache_file, legacy_keys, (g_model, d_model)
+
+
+def _bank_blob_from_classic(g_model, d_model, seed, batch_size, image_size):
+    """Serialize a style-bank init blob from the classic-layout blob (same
+    values, re-laid-out by style_bank.classic_to_bank). None if no classic
+    blob exists."""
+    import os
+
+    import flax.serialization
+
+    from gan_tpu.models import style_bank as sb
+
+    classic = g_model.clone(style_bank=False)
+    c_tmpl, c_file, _, _ = init_cache_info(
+        classic, d_model, seed, batch_size, image_size)
+    if not os.path.exists(c_file):
+        return None
+    with open(c_file, "rb") as f:
+        c_vars = flax.serialization.from_bytes(c_tmpl, f.read())
+    reg = sb.style_registry(g_model)
+    c_vars["g"] = sb.classic_to_bank(c_vars["g"], reg)
+    return flax.serialization.to_bytes(c_vars)
+
+
 def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
     """Model init in a JAX_PLATFORMS=cpu subprocess (see _init_worker.py).
     Returns {"g": vars, "d": vars} as numpy pytrees, or None on failure
@@ -132,86 +258,24 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
         except TypeError:
             key_arr = np.asarray(rng)
         seed = int(key_arr.reshape(-1)[-1])
-        # Normalize the compute dtype out of the cache key and template:
-        # params/variables are created in param dtype (f32) regardless of
-        # the flax compute dtype (verified: no self.param/self.variable in
-        # the zoo takes dtype), so a bf16 model shares the f32 init blob.
-        def _f32(m):
-            try:
-                return m.clone(dtype=None) if getattr(m, "dtype", None) is not None else m
-            except Exception:
-                return m
+        import hashlib
 
-        def _norm_impl(m):
-            # rir_impl variants share one param tree (models/paired.py);
-            # normalize it out so vmap/folded reuse the same init blob
-            if getattr(m, "rir_impl", None) is not None:
-                try:
-                    return m.clone(rir_impl="vmap")
-                except Exception:
-                    return m
-            return m
-
-        def _norm_perf(m):
-            # performance-only flags (no effect on init values): normalize
-            # so they don't fork byte-identical blobs (VERDICT r1 #7)
-            if getattr(m, "remat", None) not in (None, True):
-                try:
-                    return m.clone(remat=True)
-                except Exception:
-                    return m
-            return m
-
-        g_model = _norm_perf(_norm_impl(_f32(g_model)))
-        d_model = _norm_perf(_norm_impl(_f32(d_model)))
+        # Cache key = STRUCTURAL signature + normalized module signature
+        # (init_cache_info docstring; ADVICE r2 medium). The worker inits
+        # the NORMALIZED models so the blob layout matches the template.
+        template, cache_file, legacy_keys, (g_model, d_model) = \
+            init_cache_info(g_model, d_model, seed, batch_size, image_size)
         spec_tuple = (g_model, d_model, seed, batch_size, tuple(image_size))
+        cache_dir = os.path.dirname(cache_file)
+        os.makedirs(cache_dir, exist_ok=True)
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
 
-        # The abstract variable structure — also the template from_bytes
-        # deserializes against below (tracing only; no device ops).
-        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
-        template = jax.eval_shape(
-            lambda: {
-                "g": dict(g_model.init(
-                    rngs, jnp.zeros((batch_size, g_model.z_dim)), train=True)),
-                "d": dict(d_model.init(
-                    rngs, jnp.zeros((batch_size, *image_size)), train=True,
-                    update_sn=False)),
-            }
-        )
-
-        # Cache key = STRUCTURAL signature (variable paths/shapes/dtypes,
-        # seed) + the NORMALIZED module tree. Structure alone is not
-        # enough: init VALUES also depend on initializer distributions
-        # carried by constructor fields with identical variable structure
-        # (e.g. SelfAttention's constant-vs-uniform gamma_init,
-        # EqualizedLinear bias scales — ADVICE r2 medium). The module-tree
-        # hash catches those; the known param-neutral flags (dtype,
-        # rir_impl, remat) are normalized out above so they still share
-        # one blob (round 1's fork, VERDICT r1 #7).
-        import hashlib
-
-        flat, _ = jax.tree_util.tree_flatten_with_path(template)
-        sig = [(jax.tree_util.keystr(p), tuple(l.shape), str(l.dtype))
-               for p, l in flat]
-        spec = repr((sig, seed)).encode() + _stable_dumps((g_model, d_model))
-
-        cache_dir = os.environ.get(
-            "GAN_TPU_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
-        os.makedirs(cache_dir, exist_ok=True)
-        cache_file = os.path.join(
-            cache_dir, f"init_{hashlib.sha256(spec).hexdigest()[:24]}.msgpack")
-
-        # one-time migration from the older key schemes (r2
-        # structural-only, r1 stable-pickle / raw-pickle of the module
-        # tree): adopt-by-rename, no copy
+        # one-time migration from the older key schemes (r3 full-pickle
+        # module hash, r2 structural-only, r1 stable-pickle): adopt-by-
+        # rename, no copy
         if not os.path.exists(cache_file):
-            for legacy_key in (
-                repr((sig, seed)).encode(),
-                _stable_dumps((g_model, d_model, seed, tuple(image_size))),
-                pickle.dumps(spec_tuple),
-            ):
+            for legacy_key in legacy_keys + (pickle.dumps(spec_tuple),):
                 legacy = os.path.join(
                     cache_dir,
                     "init_"
@@ -221,6 +285,19 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
                 if os.path.exists(legacy):
                     os.replace(legacy, cache_file)
                     break
+
+        # style-bank layout (models/style_bank.py): derive the blob from
+        # the CLASSIC blob when available — a pure re-layout (identical
+        # values), vs ~30 min of fresh flagship init compute
+        if not os.path.exists(cache_file) and getattr(
+                g_model, "style_bank", False):
+            blob = _bank_blob_from_classic(
+                g_model, d_model, seed, batch_size, image_size)
+            if blob is not None:
+                tmp = cache_file + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, cache_file)
 
         if os.path.exists(cache_file):
             with open(cache_file, "rb") as f:

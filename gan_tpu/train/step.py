@@ -18,6 +18,7 @@ TPU-first details:
 """
 
 import functools
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -45,12 +46,18 @@ class TrainStep(NamedTuple):
     without_penalties: Callable
     lazy_interval: int
     cadence: Optional[Callable] = None
+    parts_map: Optional[Dict[str, Dict[str, Callable]]] = None
 
     def __call__(self, state: GANTrainState, batch, rng, step_in_epoch: int):
         """Dispatch on the reference's host-side cadence (idx %% k == 0)."""
         if self.lazy_interval <= 1 or step_in_epoch % self.lazy_interval == 0:
             return self.with_penalties(state, batch, rng)
         return self.without_penalties(state, batch, rng)
+
+    def parts(self, variant: str) -> Optional[Dict[str, Callable]]:
+        """Split-step mode only: the individually-jitted sub-programs of a
+        variant ('pen'/'nopen'), for lowering/size/memory tools."""
+        return self.parts_map.get(variant) if self.parts_map else None
 
 
 def _merge(base: Dict, updates) -> Dict:
@@ -244,8 +251,31 @@ def build_train_step(
         )
         return state, metrics
 
+    # --- split-step mode (GAN_TPU_SPLIT_STEP=1): D-update and G-update as
+    # two separately-jitted programs chained by state donation. Identical
+    # math (each derives its half of the same rng split), two dispatches
+    # instead of one (~ms of host overhead vs ~1 s of device time on the
+    # flagship). Why: the axon remote compile helper is memory-capped at
+    # ~35 MB of MLIR per program (docs/STATUS.md r3 "perf levers") — the
+    # monolithic pen step is the program that hits it. Splitting also
+    # DEDUPLICATES the G-update: one shared G program serves both the pen
+    # and nopen variants (the monolithic layout compiles it twice).
+    def d_step(state: GANTrainState, batch, rng, apply_penalties: bool):
+        rng_d, _ = jax.random.split(rng)
+        return d_update(state, batch, rng_d, apply_penalties)
+
+    def g_step(state: GANTrainState, batch, rng):
+        _, rng_g = jax.random.split(rng)
+        state, g_metrics = g_update(state, batch.shape[0], batch.dtype, rng_g)
+        return state.replace(step=state.step + 1), g_metrics
+
+    split = os.environ.get("GAN_TPU_SPLIT_STEP", "0") == "1" and (
+        in_shardings is None and out_shardings is None
+    )
+
     step_pen = functools.partial(step, apply_penalties=True)
     step_nopen = functools.partial(step, apply_penalties=False)
+    parts_map = None
     if jit:
         jit_kwargs = {}
         if in_shardings is not None:
@@ -270,10 +300,36 @@ def build_train_step(
             if obj.lazy_interval > 1
             else step_pen
         )
+        if split:
+            cad_opts = {
+                k_: v for k_, v in jit_kwargs.items()
+                if k_ == "compiler_options"
+            }
+            d_pen = jax.jit(functools.partial(d_step, apply_penalties=True),
+                            donate_argnums=0, **cad_opts)
+            d_nopen = jax.jit(functools.partial(d_step, apply_penalties=False),
+                              donate_argnums=0, **cad_opts)
+            g_jit = jax.jit(g_step, donate_argnums=0, **cad_opts)
+
+            def chain(d_fn):
+                def run(state, batch, rng):
+                    state, dm = d_fn(state, batch, rng)
+                    state, gm = g_jit(state, batch, rng)
+                    return state, {**dm, **gm}
+
+                return run
+
+            step_pen = chain(d_pen)
+            step_nopen = chain(d_nopen) if obj.lazy_interval > 1 else step_pen
+            parts_map = {
+                "pen": {"d": d_pen, "g": g_jit},
+                "nopen": {"d": d_nopen, "g": g_jit},
+            }
         # cadence takes stacked (k, ...) batch/rng args, so the per-step
         # in/out shardings don't apply to it; GSPMD propagates from state.
         cad_kwargs = {
             k_: v for k_, v in jit_kwargs.items() if k_ == "compiler_options"
         }
         cadence = jax.jit(cadence, donate_argnums=0, **cad_kwargs)
-    return TrainStep(step_pen, step_nopen, obj.lazy_interval, cadence)
+    return TrainStep(step_pen, step_nopen, obj.lazy_interval, cadence,
+                     parts_map)

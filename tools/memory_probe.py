@@ -59,30 +59,36 @@ def main():
     rng_abs = jax.eval_shape(lambda: jax.random.PRNGKey(0))
 
     step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
-    fn = step.with_penalties if which == "pen" else step.without_penalties
-    compiled = fn.lower(state_abs, batch_abs, rng_abs).compile()
-    ma = compiled.memory_analysis()
-    rep = {
-        "pair": f"{g_name}+{d_name}",
-        "variant": which,
-        "batch": batch_size,
-        "dtype": dtype_name,
-        "rir_impl": os.environ.get("GAN_TPU_RIR_IMPL", "(default)"),
-        "remat": os.environ.get("GAN_TPU_REMAT", "(default)"),
-    }
-    total = 0
-    for f in ("argument_size_in_bytes", "output_size_in_bytes",
-              "temp_size_in_bytes", "generated_code_size_in_bytes",
-              "alias_size_in_bytes"):
-        v = getattr(ma, f, None)
-        if v is not None:
-            rep[f] = int(v)
-            if f in ("argument_size_in_bytes", "output_size_in_bytes",
-                     "temp_size_in_bytes"):
-                total += int(v)
-    alias = rep.get("alias_size_in_bytes", 0)
-    rep["live_estimate_gb"] = round((total - alias) / 2**30, 2)
-    print(json.dumps(rep, indent=1))
+    parts = step.parts(which)
+    if parts:  # split-step mode: one report per sub-program
+        fns = list(parts.items())
+    else:
+        fns = [(None, step.with_penalties if which == "pen"
+                else step.without_penalties)]
+    for sub, fn in fns:
+        compiled = fn.lower(state_abs, batch_abs, rng_abs).compile()
+        ma = compiled.memory_analysis()
+        rep = {
+            "pair": f"{g_name}+{d_name}",
+            "variant": which if sub is None else f"{which}:{sub}",
+            "batch": batch_size,
+            "dtype": dtype_name,
+            "rir_impl": os.environ.get("GAN_TPU_RIR_IMPL", "(default)"),
+            "remat": os.environ.get("GAN_TPU_REMAT", "(default)"),
+        }
+        total = 0
+        for f in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes",
+                  "alias_size_in_bytes"):
+            v = getattr(ma, f, None)
+            if v is not None:
+                rep[f] = int(v)
+                if f in ("argument_size_in_bytes", "output_size_in_bytes",
+                         "temp_size_in_bytes"):
+                    total += int(v)
+        alias = rep.get("alias_size_in_bytes", 0)
+        rep["live_estimate_gb"] = round((total - alias) / 2**30, 2)
+        print(json.dumps(rep, indent=1))
 
 
 if __name__ == "__main__":
