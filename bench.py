@@ -93,6 +93,19 @@ def _measure():
     global RESOLVED
     RESOLVED = (batch_size, dtype_name)
 
+    # flags sidecar: a prewarmed program may be a non-default lever config
+    # (style bank / folded pairs / pool matmul / split step — see
+    # docs/STATUS.md). The prewarm writes BENCH_WARM_*.flags with the env
+    # it compiled under; apply it (explicit env still wins) so bench runs
+    # the program the cache actually holds.
+    try:
+        with open(marker + ".flags") as f:
+            for k, v in (json.load(f).get("env") or {}).items():
+                if k.startswith("GAN_TPU_"):
+                    os.environ.setdefault(k, str(v))
+    except (OSError, ValueError):
+        pass
+
     use_flagship = (
         os.environ.get("BENCH_FORCE_FALLBACK") != "1"
         and (os.environ.get("BENCH_FORCE_FLAGSHIP") == "1"

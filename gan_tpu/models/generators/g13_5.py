@@ -40,7 +40,8 @@ class SKStyleConv(nn.Module):
             f = sk.StyleConv13(self.features, 3 + 2 * i,
                                use_noise=self.use_noise, bn=True,
                                dead_bias=self.dead_bias, dtype=self.dtype,
-                               name=f"conv_{i}")(x, w, train)
+                               name=f"conv_{i}")(
+                x, sk.style_sub(w, f"conv_{i}"), train)
             f = core.PReLU(channels=self.features, dtype=self.dtype,
                            name=f"nonlinear_{i}")(f)
             feas.append(f)
@@ -95,17 +96,20 @@ class StyleBlock(nn.Module):
     def __call__(self, x, w, train: bool = True):
         ip, od = self.in_planes, self.out_planes + self.dense_depth
         kw = dict(bn=True, dead_bias=self.dead_bias, dtype=self.dtype)
-        x = sk.StyleConv13(ip, 1, **kw, name="conv1")(x, w, train)
+        x = sk.StyleConv13(ip, 1, **kw, name="conv1")(
+            x, sk.style_sub(w, "conv1"), train)
         x = core.PReLU(channels=ip, dtype=self.dtype, name="activation1")(x)
         if self.m == 1:
             x = sk.StyleConv13(ip, self.kernel_size, use_noise=True, **kw,
-                               name="conv2")(x, w, train)
+                               name="conv2")(
+                x, sk.style_sub(w, "conv2"), train)
             x = core.PReLU(channels=ip, dtype=self.dtype, name="activation2")(x)
         else:
             x = SKStyleConv(ip, self.m, self.image_size, use_noise=True,
                             dead_bias=self.dead_bias, dtype=self.dtype,
-                            name="skconv")(x, w, train)
-        x = sk.StyleConv13(od, 3, **kw, name="conv3")(x, w, train)
+                            name="skconv")(x, sk.style_sub(w, "skconv"), train)
+        x = sk.StyleConv13(od, 3, **kw, name="conv3")(
+            x, sk.style_sub(w, "conv3"), train)
         return x
 
 
@@ -153,32 +157,36 @@ class ResnetInit(nn.Module):
             folded = paired.fold_pair(x_res, x_tra)
             ga = paired.FoldedStyleBlockPair(
                 dense_depth=self.dense_depth, name="group_dd", **kw
-            )(folded, w, train)
+            )(folded, sk.style_sub(w, "group_dd"), train)
             gb = paired.FoldedStyleBlockPair(
                 dense_depth=0, name="group_nodd", **kw
-            )(folded, w, train)
+            )(folded, sk.style_sub(w, "group_nodd"), train)
             r_r, t_r = paired.split_pair(
                 ga, self.out_planes + self.dense_depth)
             r_t, t_t = paired.split_pair(gb, self.out_planes)
         elif impl == "vmap":
+            # style-bank mode: the group's style subtree carries stacked
+            # (2, B, c) leaves — map it alongside the (2, ...) feature pair
+            w_axis = 0 if isinstance(w, dict) else None
             VBlock = nn.vmap(
                 StyleBlock,
-                in_axes=(0, None, None),
+                in_axes=(0, w_axis, None),
                 out_axes=0,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True, "noise": True},
             )
             pair = jnp.stack([x_res, x_tra])
             ga = VBlock(dense_depth=self.dense_depth, name="group_dd", **kw)(
-                pair, w, train)
-            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(pair, w, train)
+                pair, sk.style_sub(w, "group_dd"), train)
+            gb = VBlock(dense_depth=0, name="group_nodd", **kw)(
+                pair, sk.style_sub(w, "group_nodd"), train)
             r_r, t_r = ga[0], ga[1]
             r_t, t_t = gb[0], gb[1]
         else:
-            r_r = StyleBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, w, train)
-            r_t = StyleBlock(dense_depth=0, name="residual_across", **kw)(x_res, w, train)
-            t_t = StyleBlock(dense_depth=0, name="transient", **kw)(x_tra, w, train)
-            t_r = StyleBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, w, train)
+            r_r = StyleBlock(dense_depth=self.dense_depth, name="residual", **kw)(x_res, sk.style_sub(w, "residual"), train)
+            r_t = StyleBlock(dense_depth=0, name="residual_across", **kw)(x_res, sk.style_sub(w, "residual_across"), train)
+            t_t = StyleBlock(dense_depth=0, name="transient", **kw)(x_tra, sk.style_sub(w, "transient"), train)
+            t_r = StyleBlock(dense_depth=self.dense_depth, name="transient_across", **kw)(x_tra, sk.style_sub(w, "transient_across"), train)
         od = self.out_planes + self.dense_depth
         res = core.PReLU(channels=od, dtype=self.dtype,
                          name="activation_residual")(r_r + t_r)
@@ -214,19 +222,22 @@ class BasicBlock(nn.Module):
         kw = dict(m=self.m, image_size=self.image_size,
                   dead_bias=self.dead_bias, dtype=self.dtype)
         if self.is_unify:
-            x = StyleBlock(self.in_planes, 2 * d, dd, 3, name="unify", **kw)(x, w, train)
+            x = StyleBlock(self.in_planes, 2 * d, dd, 3, name="unify", **kw)(
+                x, sk.style_sub(w, "unify"), train)
             x = core.PReLU(channels=2 * d + dd, dtype=self.dtype,
                            name="activation_unify")(x)
         x_res = jnp.concatenate([x[..., :d], x[..., 2 * d:]], axis=-1)
         x_tra = x[..., d:]
         r3, t3 = ResnetInit(self.in_planes, d, dd, 3, impl=self.rir_impl,
-                            name="rir_3", **kw)((x_res, x_tra), w, train)
+                            name="rir_3", **kw)(
+            (x_res, x_tra), sk.style_sub(w, "rir_3"), train)
         se_cls = sk.SEBlockConv if self.image_size > 4 else sk.SEBlockFC
         gate = se_cls(style=sk.V13_5, dtype=self.dtype,
                       name="se_attention_residual")(r3[..., :d], train)
         feas_res = x[..., :d] + r3[..., :d] * gate
         if self.root:
-            sc = StyleBlock(self.in_planes, 0, dd, 3, name="shortcut", **kw)(x, w, train)
+            sc = StyleBlock(self.in_planes, 0, dd, 3, name="shortcut", **kw)(
+                x, sk.style_sub(w, "shortcut"), train)
             sc = core.PReLU(channels=dd, dtype=self.dtype,
                             name="activation_shortcut")(sc)
             return jnp.concatenate([feas_res, t3, sc, r3[..., d:]], axis=-1)
@@ -293,7 +304,7 @@ class Tree(nn.Module):
         xs = []
         if self.level > 1:
             pr = self._block(last, False, last < 2 * d, "prev_root")
-            xs.append(pr(x, w, train))
+            xs.append(pr(x, sk.style_sub(w, "prev_root"), train))
             for i in reversed(range(1, self.level)):
                 sub = Tree(last, self.in_planes, self.out_planes,
                            self.dense_depth, level=i,
@@ -302,27 +313,28 @@ class Tree(nn.Module):
                            dead_bias=self.dead_bias,
                            rir_impl=self.rir_impl, dtype=self.dtype,
                            name=f"level_{i}")
-                x, rgb = sub(x, w, rgb, train)
+                x, rgb = sub(x, sk.style_sub(w, f"level_{i}"), rgb, train)
                 last = sub.get_out_planes()
                 xs.append(x)
             for i in range(self.block_num):
                 b = self._block(last, False, False, f"block_{i}")
-                x = b(x, w, train)
+                x = b(x, sk.style_sub(w, f"block_{i}"), train)
                 last = b.get_out_planes()
                 xs.append(x[..., : 2 * d])
         else:
             b0 = self._block(last, False, last < 2 * d, "block_0")
-            x = b0(x, w, train)
+            x = b0(x, sk.style_sub(w, "block_0"), train)
             last = b0.get_out_planes()
             xs.append(x[..., : 2 * d])
             for i in range(1, self.block_num):
                 b = self._block(last, False, False, f"block_{i}")
-                x = b(x, w, train)
+                x = b(x, sk.style_sub(w, f"block_{i}"), train)
                 last = b.get_out_planes()
                 xs.append(x[..., : 2 * d])
         xs.append(x[..., 2 * d:])
         cat = jnp.concatenate(xs, axis=-1)
-        out = self._block(cat.shape[-1], True, False, "root")(cat, w, train)
+        out = self._block(cat.shape[-1], True, False, "root")(
+            cat, sk.style_sub(w, "root"), train)
         rgb_new = ToRGB(self.m, self.image_size, dtype=self.dtype,
                         name="to_rgb")(out, train)
         return out, rgb_new + rgb
@@ -356,7 +368,7 @@ class GeneratorBlock(nn.Module):
                     self.dense_depth, self.level, self.block_num, self.m,
                     self.image_size, dead_bias=self.dead_bias,
                     rir_impl=self.rir_impl, dtype=self.dtype,
-                    name="tree")(x, w, rgb, train)
+                    name="tree")(x, sk.style_sub(w, "tree"), rgb, train)
 
 
 class Generator13_5(nn.Module):
@@ -374,6 +386,10 @@ class Generator13_5(nn.Module):
     rir_impl: str = "vmap"
     remat: bool = True  # block-level rematerialization: the full model's
     # activations (incl. the GP double-backward) exceed 16GB HBM otherwise
+    # style_bank=True computes every to_style chain batched at the top
+    # (models/style_bank.py) — CHANGES THE PARAM TREE; same re-prewarm
+    # rule as rir_impl (convert checkpoints with style_bank.classic_to_bank)
+    style_bank: bool = False
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -382,6 +398,11 @@ class Generator13_5(nn.Module):
         dead = not self.fix_styleconv_bias
         w = sk.Mapping13(self.mapping_layers, bn=True, dtype=self.dtype,
                          name="mapping_network")(z, train)
+        if self.style_bank:
+            from gan_tpu.models import style_bank as sb
+
+            w = sb.StyleBank13(sb.style_registry(self), dtype=self.dtype,
+                               name="style_bank")(w, train)
         # GeneratorStart (generator_13_5.py:586-607)
         x = z.reshape(z.shape[0], 1, 1, -1)
         x = core.ConvTranspose(p * 8, 4, 1, 0, dtype=self.dtype,
@@ -400,7 +421,7 @@ class Generator13_5(nn.Module):
                               block_num=2, m=1, image_size=4, dead_bias=dead,
                               rir_impl=self.rir_impl, dtype=self.dtype,
                               name="start_tree")
-        x, rgb = start_tree(x, w, rgb, train)
+        x, rgb = start_tree(x, sk.style_sub(w, "start_tree"), rgb, train)
         last = 2 * (p * 4) + 2 * (p // 8)
 
         stages = [
@@ -414,6 +435,6 @@ class Generator13_5(nn.Module):
                           m=2, image_size=size, dead_bias=dead,
                           rir_impl=self.rir_impl, dtype=self.dtype,
                           name=f"block{i + 1}")
-            x, rgb = blk(x, w, rgb, train)
+            x, rgb = blk(x, sk.style_sub(w, f"block{i + 1}"), rgb, train)
             last = 2 * op + 2 * (p // 8)
         return rgb

@@ -248,17 +248,22 @@ class PairedModulatedConv(nn.Module):
     @nn.compact
     def __call__(self, x, w, train: bool = True):
         s_dim, ci, co, k = self.s, self.in_ch, self.features, self.kernel_size
-        n_map = 1 if self.bn else 2
-        z = jnp.broadcast_to(w[None], (s_dim, *w.shape))
-        z = PairedMapping13(s_dim, n_map, bn=self.bn, dtype=self.dtype,
-                            name="to_style_mapping")(z, train)
-        st = PairedEqualizedLinear(
-            s_dim, w.shape[-1], ci, bias_init_val=1.0, dtype=self.dtype,
-            name="to_style_linear",
-        )(z)
-        if self.bn:
-            st = PairedBN1d(s_dim, ci, dtype=self.dtype,
-                            name="to_style_bn")(st, train)
+        if isinstance(w, sk.Precomputed):
+            # style-bank mode (models/style_bank.py): stacked (S, B, Ci)
+            # styles computed batched across all sites; params in the bank
+            st = w.s
+        else:
+            n_map = 1 if self.bn else 2
+            z = jnp.broadcast_to(w[None], (s_dim, *w.shape))
+            z = PairedMapping13(s_dim, n_map, bn=self.bn, dtype=self.dtype,
+                                name="to_style_mapping")(z, train)
+            st = PairedEqualizedLinear(
+                s_dim, w.shape[-1], ci, bias_init_val=1.0, dtype=self.dtype,
+                name="to_style_linear",
+            )(z)
+            if self.bn:
+                st = PairedBN1d(s_dim, ci, dtype=self.dtype,
+                                name="to_style_bn")(st, train)
         # st: (S, B, Ci) -> folded (B, S*Ci)
         st_f = jnp.moveaxis(st, 0, 1).reshape(st.shape[1], s_dim * ci)
 
@@ -299,7 +304,7 @@ class PairedStyleConv(nn.Module):
         x = PairedModulatedConv(
             self.s, self.in_ch, self.features, self.kernel_size,
             bn=self.bn, dtype=self.dtype, name="conv",
-        )(x, w, train)
+        )(x, sk.style_sub(w, "conv"), train)
         if self.use_noise:
             scale_noise = self.param(
                 "scale_noise", core.uniform_init(0.2, 0.3),
@@ -549,7 +554,8 @@ class PairedSKStyleConv(nn.Module):
             f = PairedStyleConv(self.s, self.in_ch, self.features, 3 + 2 * i,
                                 use_noise=self.use_noise, bn=True,
                                 dead_bias=self.dead_bias, dtype=self.dtype,
-                                name=f"conv_{i}")(x, w, train)
+                                name=f"conv_{i}")(
+                x, sk.style_sub(w, f"conv_{i}"), train)
             f = PairedPReLU(self.s, self.features,
                             name=f"nonlinear_{i}")(f)
             feas.append(f)
@@ -588,15 +594,19 @@ class FoldedStyleBlockPair(nn.Module):
         od = self.out_planes + self.dense_depth
         in_ch = x.shape[-1] // s_dim
         kw = dict(bn=True, dead_bias=self.dead_bias, dtype=self.dtype)
-        x = PairedStyleConv(s_dim, in_ch, ip, 1, **kw, name="conv1")(x, w, train)
+        x = PairedStyleConv(s_dim, in_ch, ip, 1, **kw, name="conv1")(
+            x, sk.style_sub(w, "conv1"), train)
         x = PairedPReLU(s_dim, ip, name="activation1")(x)
         if self.m == 1:
             x = PairedStyleConv(s_dim, ip, ip, self.kernel_size,
-                                use_noise=True, **kw, name="conv2")(x, w, train)
+                                use_noise=True, **kw, name="conv2")(
+                x, sk.style_sub(w, "conv2"), train)
             x = PairedPReLU(s_dim, ip, name="activation2")(x)
         else:
             x = PairedSKStyleConv(s_dim, ip, ip, self.m, self.image_size,
                                   use_noise=True, dead_bias=self.dead_bias,
-                                  dtype=self.dtype, name="skconv")(x, w, train)
-        x = PairedStyleConv(s_dim, ip, od, 3, **kw, name="conv3")(x, w, train)
+                                  dtype=self.dtype, name="skconv")(
+                x, sk.style_sub(w, "skconv"), train)
+        x = PairedStyleConv(s_dim, ip, od, 3, **kw, name="conv3")(
+            x, sk.style_sub(w, "conv3"), train)
         return x

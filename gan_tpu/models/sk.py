@@ -9,13 +9,30 @@ selects between them; every sub-stack depth matches its reference file.
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from gan_tpu.models import core
+
+
+class Precomputed(NamedTuple):
+    """A per-site style vector precomputed by the G13_5 style bank
+    (models/style_bank.py): (B, C) for plain sites, (S, B, C) for
+    vmap/folded pair sites. Passed down the generator tree IN PLACE of the
+    latent w; ModulatedConv13/PairedModulatedConv consume it directly and
+    skip their per-site to_style sub-stacks."""
+
+    s: jax.Array
+
+
+def style_sub(w, name: str):
+    """Select a child's slice of the style pytree. Identity when w is the
+    latent (classic mode) or an already-resolved Precomputed leaf."""
+    return w[name] if isinstance(w, dict) else w
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,13 +76,43 @@ V13_4 = dataclasses.replace(V13_3, att_conv_depth=3, att_fc_depth=2,
                             attfc_fc_depth=4)
 
 
+def _pool_matrix(size: int, out: int):
+    """(size, out) averaging matrix reproducing torch AdaptiveAvgPool2d's
+    segment math exactly: column i averages rows [floor(i*S/out),
+    ceil((i+1)*S/out))."""
+    import numpy as np
+
+    p = np.zeros((size, out), np.float32)
+    for i in range(out):
+        s = (i * size) // out
+        e = -(-((i + 1) * size) // out)
+        p[s:e, i] = 1.0 / (e - s)
+    return p
+
+
 def adaptive_avg_pool(x: jax.Array, out: int) -> jax.Array:
     """torch AdaptiveAvgPool2d parity on NHWC: segment i spans
-    [floor(i*S/out), ceil((i+1)*S/out)). Static shapes -> unrolled at trace
-    time (out is small: 1 or 5)."""
+    [floor(i*S/out), ceil((i+1)*S/out)).
+
+    Two implementations (identical math):
+    - 'slice' (default — matches the persisted flagship compile cache):
+      per-segment slice+mean, unrolled at trace time (~25 HLO ops per
+      call; out is small: 1 or 5).
+    - 'matmul' (GAN_TPU_POOL_IMPL=matmul): one constant averaging matrix
+      per axis, applied as two einsums — 2 MXU ops per call instead of
+      ~25 slice/reduce/concat ops. The flagship has ~10^2 pool sites
+      (SKAttentionConv/SEBlockConv), so this is a program-size lever
+      (docs/STATUS.md r3 "perf levers"). Flip the default only together
+      with a re-prewarm.
+    """
     b, h, w, c = x.shape
     if h == out and w == out:
         return x
+
+    if os.environ.get("GAN_TPU_POOL_IMPL", "slice") == "matmul":
+        ph = jnp.asarray(_pool_matrix(h, out), x.dtype)
+        pw = ph if w == h else jnp.asarray(_pool_matrix(w, out), x.dtype)
+        return jnp.einsum("bhwc,hp,wq->bpqc", x, ph, pw)
 
     def pool_axis(arr, size, axis):
         segs = []
@@ -280,13 +327,20 @@ class ModulatedConv13(nn.Module):
     @nn.compact
     def __call__(self, x, w, train: bool = True):
         in_ch = x.shape[-1]
-        n_map = 1 if self.bn else 2
-        s = Mapping13(n_map, bn=self.bn, dtype=self.dtype,
-                      name="to_style_mapping")(w, train)
-        s = core.EqualizedLinear(in_ch, bias_init_val=1.0, dtype=self.dtype,
-                                 name="to_style_linear")(s)
-        if self.bn:
-            s = BatchNorm1d(dtype=self.dtype, name="to_style_bn")(s, train)
+        if isinstance(w, Precomputed):
+            # style-bank mode: the per-site to_style stack was computed
+            # batched across all sites at the generator top; the params
+            # live in the bank, not here.
+            s = w.s
+        else:
+            n_map = 1 if self.bn else 2
+            s = Mapping13(n_map, bn=self.bn, dtype=self.dtype,
+                          name="to_style_mapping")(w, train)
+            s = core.EqualizedLinear(in_ch, bias_init_val=1.0,
+                                     dtype=self.dtype,
+                                     name="to_style_linear")(s)
+            if self.bn:
+                s = BatchNorm1d(dtype=self.dtype, name="to_style_bn")(s, train)
         k = self.kernel_size
         c = 1.0 / math.sqrt(in_ch * k * k)
         kernel = self.param(
@@ -334,7 +388,8 @@ class StyleConv13(nn.Module):
     @nn.compact
     def __call__(self, x, w, train: bool = True):
         x = ModulatedConv13(self.features, self.kernel_size, bn=self.bn,
-                            dtype=self.dtype, name="conv")(x, w, train)
+                            dtype=self.dtype, name="conv")(
+            x, style_sub(w, "conv"), train)
         if self.use_noise:
             scale_noise = self.param(
                 "scale_noise", core.uniform_init(0.2, 0.3), (self.features,)

@@ -46,7 +46,18 @@ def main():
         os.environ.get("BENCH_DTYPE", "f32"),
     )
     sfx = "" if dt in ("f32", "auto") else f"_{dt}"
-    open(os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}"), "w").write("ok")
+    marker = os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}")
+    open(marker, "w").write("ok")
+    # record the lever env this program was compiled under (style bank /
+    # folded pairs / pool impl / split step); bench applies it from the
+    # sidecar so it runs the program the cache actually holds
+    import json as _json
+
+    flags = {k: os.environ[k] for k in (
+        "GAN_TPU_RIR_IMPL", "GAN_TPU_REMAT", "GAN_TPU_STYLE_BANK",
+        "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP") if k in os.environ}
+    with open(marker + ".flags", "w") as f:
+        _json.dump({"env": flags}, f)
 
 
 if __name__ == "__main__":
