@@ -66,6 +66,17 @@ def main():
     targets = {"pen": step.with_penalties, "nopen": step.without_penalties}
     if step.cadence is not None:
         targets["cadence"] = step.cadence
+    # split-step mode (GAN_TPU_SPLIT_STEP=1): compile the d/g sub-programs
+    # individually (the g program is shared between pen and nopen — its
+    # second compile is a cache hit)
+    for v in ("pen", "nopen"):
+        parts = step.parts(v)
+        if parts:
+            targets.pop(v, None)
+            for sub, fn in parts.items():
+                targets[f"{v}:{sub}"] = fn
+    if which == ["pen", "nopen"] and step.parts("pen"):
+        which = ["pen:d", "pen:g", "nopen:d", "nopen:g"]
     k = obj.lazy_interval
     for name in which:
         fn = targets[name]
