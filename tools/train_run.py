@@ -219,9 +219,15 @@ def main():
             print(f"# phase {pi}: resumed at step {resumed_at}")
         tr.train()
         phase_times.append(round(time.time() - tp0, 1))
-        tr2 = tr
         if pi < len(phases) - 1:
+            # release this phase's ~5.3 GB device state BEFORE the next
+            # phase's create_state + restore: keeping it alive (the old
+            # `tr2 = tr` did) peaks at 3x state and OOMs 16 GB HBM when a
+            # phase starts from an existing checkpoint
+            tr.state = None
             del tr
+        else:
+            tr2 = tr
     t2 = time.time()
 
     # ---- evidence: FID proxy vs the corpus on a fresh sample batch
