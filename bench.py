@@ -283,23 +283,30 @@ def _attempt(extra_env: dict, timeout_s: float):
     return None
 
 
-def _cache_fingerprint() -> str:
-    """Fingerprint of the warm-cache state a measured marker depends on:
-    the LARGE persistent-cache executables (>50 MB — the flagship step
-    programs; small unrelated test programs must not invalidate a valid
-    number). If the flagship program set changes, an older measured
-    number no longer describes the program bench would run."""
+def _cache_entries():
+    """The LARGE persistent-cache executables (>50 MB — flagship-scale
+    programs; small test programs are irrelevant)."""
     import glob
-    import hashlib
 
     cache_dir = os.environ.get(
         "GAN_TPU_COMPILE_CACHE", os.path.join(_REPO, ".jax_cache"))
-    ents = sorted(
-        (os.path.basename(p), os.path.getsize(p))
+    return sorted(
+        [os.path.basename(p), os.path.getsize(p)]
         for p in glob.glob(os.path.join(cache_dir, "jit_*"))
         if os.path.getsize(p) > 50_000_000
     )
-    return hashlib.sha256(repr(ents).encode()).hexdigest()[:16]
+
+
+def _cache_fingerprint() -> str:
+    """Exact-set fingerprint (legacy; _load_measured_marker prefers the
+    SUBSET check on the stored entries list — a new unrelated big program
+    landing in the cache, e.g. entry()'s forward, must not invalidate a
+    valid flagship number; only losing/replacing the executables that
+    were present at measure time does)."""
+    import hashlib
+
+    return hashlib.sha256(repr([tuple(e) for e in _cache_entries()])
+                          .encode()).hexdigest()[:16]
 
 
 def _measured_marker_path() -> str:
@@ -316,7 +323,12 @@ def _load_measured_marker():
     try:
         with open(_measured_marker_path()) as f:
             rec = json.load(f)
-        if rec.get("fingerprint") != _cache_fingerprint():
+        ents = rec.get("entries")
+        if ents is not None:
+            current = {tuple(e) for e in _cache_entries()}
+            if any(tuple(e) not in current for e in ents):
+                return None
+        elif rec.get("fingerprint") != _cache_fingerprint():
             return None
         out = rec["result"]
         out["metric"] += " [prewarm-time measurement; live attempt timed out]"
@@ -337,6 +349,14 @@ def main():
         # init blob + executable loads over the relay + the one-time
         # ~200 s first-dispatch session cost + 20 timed steps).
         out = _attempt({}, max(min(budget, 60.0), budget * 0.8))
+        if out is None:
+            # the flagship attempt can blow its share on relay slow modes
+            # (measured: create_state 107 s one hour, 545 s the next —
+            # docs/evidence/prewarm_classic_ab.log vs /tmp/v_bench.log).
+            # A fingerprint-fresh prewarm-time FLAGSHIP measurement beats
+            # a live small-pair number: same code, same cache, headline
+            # model. Fall back to the small pair only when neither exists.
+            out = _load_measured_marker()
         if out is None:
             # attempt 2: small warm pair, fewer steps, in what remains
             remaining = budget - (time.monotonic() - t0) - 10.0

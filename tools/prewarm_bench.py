@@ -31,6 +31,7 @@ def main():
 
         with open(bench._measured_marker_path(), "w") as f:
             json.dump({"fingerprint": bench._cache_fingerprint(),
+                       "entries": bench._cache_entries(),
                        "result": result}, f)
     # success -> leave the warm marker so bench.py picks the flagship.
     # Use the (batch, dtype) the measurement actually resolved and warmed
