@@ -43,6 +43,11 @@ class Recorder:
         return r
 
     def plot(self, name_png: str, per_iteration: int, dpi: int = 240) -> None:
+        if not any(k not in ("epoch", "i") for k in self.record):
+            # nothing recorded (e.g. a resume landed past the final step,
+            # making the phase a no-op): don't overwrite a previous run's
+            # plot with an empty chart
+            return
         import matplotlib
 
         matplotlib.use("Agg")
