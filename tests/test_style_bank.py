@@ -3,6 +3,8 @@
 and batch-stat updates to the classic per-site chains, via the param-tree
 converters."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,9 @@ def test_bank_param_count_and_roundtrip():
                                       err_msg=jax.tree_util.keystr(pc))
 
 
+@pytest.mark.skipif(os.environ.get("GAN_TPU_SLOW_TESTS") != "1",
+                    reason="~25 min of eager grad on this single-core host"
+                           " (GAN_TPU_SLOW_TESTS=1 to run; green 2026-08-21)")
 def test_bank_gradients_flow():
     g, z, vars_c = _build("vmap")
     gb = g.clone(style_bank=True)
