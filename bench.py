@@ -134,11 +134,89 @@ def _measure():
     g_tx, d_tx = obj.make_optimizers(flat=not use_flagship)
     image_size = (64, 64, 3)
     rng = jax.random.PRNGKey(0)
-    mark(f"start create_state ({g_name}+{d_name} b{batch_size} {dtype_name})")
-    state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
-                         image_size=image_size)
-    mark("state ready")
     step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+
+    # Overlap the two dominant cold-start costs (BENCH_r03 stage marks:
+    # init-blob load ~3 min, executable trace+load ~9 min over the relay,
+    # strictly serialized there -> timeout): create_state runs in a
+    # background thread while the main thread AOT-lowers/compiles the step
+    # programs against an abstract state (train/state.abstract_state — no
+    # real buffers needed). The AOT path produces the SAME cache key as
+    # the jit dispatch path (verified live; fast_compile_options ride on
+    # the jit wrapper), so the prewarmed executables load, not recompile.
+    overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
+    aot_ok = False
+    mark(f"start create_state ({g_name}+{d_name} b{batch_size} {dtype_name})"
+         + (" [background]" if overlap else ""))
+    if overlap:
+        import threading
+
+        from gan_tpu.train.state import abstract_state
+
+        box = {}
+
+        def _load_state():
+            try:
+                box["state"] = create_state(
+                    rng, g, d, g_tx, d_tx, batch_size=batch_size,
+                    image_size=image_size)
+            except BaseException as e:  # surface in the main thread
+                box["err"] = e
+
+        th = threading.Thread(target=_load_state, daemon=True)
+        th.start()
+        try:
+            ab = abstract_state(g, d, g_tx, d_tx, batch_size=batch_size,
+                                image_size=image_size)
+            b_aval = jax.ShapeDtypeStruct((batch_size, *image_size),
+                                          jnp.float32)
+            k_aval = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+            if step.parts_map:  # split-step lever: three sub-programs
+                parts = {}
+                for variant, fns in step.parts_map.items():
+                    parts[variant] = {
+                        nm: fn.lower(ab, b_aval, k_aval).compile()
+                        for nm, fn in fns.items()
+                    }
+                    mark(f"{variant} split executables ready (AOT)")
+
+                def _chain(d_fn, g_fn):
+                    def run(s, bb, r):
+                        s, dm = d_fn(s, bb, r)
+                        s, gm = g_fn(s, bb, r)
+                        return s, {**dm, **gm}
+
+                    return run
+
+                step = step._replace(
+                    with_penalties=_chain(parts["pen"]["d"],
+                                          parts["pen"]["g"]),
+                    without_penalties=_chain(parts["nopen"]["d"],
+                                             parts["nopen"]["g"]),
+                )
+            else:
+                pen_c = step.with_penalties.lower(
+                    ab, b_aval, k_aval).compile()
+                mark("pen executable ready (AOT)")
+                nopen_c = step.without_penalties.lower(
+                    ab, b_aval, k_aval).compile()
+                mark("nopen executable ready (AOT)")
+                step = step._replace(with_penalties=pen_c,
+                                     without_penalties=nopen_c)
+            aot_ok = True
+        except Exception as e:
+            print(f"# AOT overlap failed ({type(e).__name__}: {e}); "
+                  "falling back to jit dispatch", file=sys.stderr)
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        state = box["state"]
+        if not aot_ok:  # rebuild untouched step pair (jit dispatch path)
+            step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+    else:
+        state = create_state(rng, g, d, g_tx, d_tx, batch_size=batch_size,
+                             image_size=image_size)
+    mark("state ready")
     batch = jax.random.normal(rng, (batch_size, *image_size))
 
     # warmup/compile both variants. NOTE: jax.block_until_ready is NOT a

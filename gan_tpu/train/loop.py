@@ -48,7 +48,13 @@ class Trainer:
         log_every: int = 50,
         use_cadence: bool = False,
         sync_every: int = 0,
+        finite_guard: Optional[bool] = None,
     ):
+        """finite_guard: skip updates whose metrics go non-finite
+        (utils/guards.py; SURVEY SS5.3). None defers to the
+        GAN_TPU_FINITE_GUARD env flag (default off — the guard changes the
+        step program, so it follows the same flip-with-re-prewarm rule as
+        the other program levers)."""
         enable_compilation_cache()
         self.dataloader = dataloader
         self.num_epochs = num_epochs
@@ -96,7 +102,8 @@ class Trainer:
             batch_size=dataloader.batch_size,
             image_size=(*image_size, self.channels),
         )
-        self.step_fn = build_train_step(generator, discriminator, objective, g_tx, d_tx)
+        self.step_fn = build_train_step(generator, discriminator, objective,
+                                        g_tx, d_tx, guard=finite_guard)
         # fixed eval noise, reference-sized per trainer (gan.py:13 -> 64;
         # wganlazygp*.py:11 -> 16)
         self.fixed_noise = jax.random.normal(noise_rng, (objective.fixed_noise, nz))

@@ -92,6 +92,41 @@ def create_state(
     return jax.block_until_ready(jax.jit(build)(rng))
 
 
+def abstract_state(
+    g_model,
+    d_model,
+    g_tx,
+    d_tx,
+    batch_size: int = 8,
+    image_size=(64, 64, 3),
+    seed: int = 0,
+) -> GANTrainState:
+    """ShapeDtypeStruct pytree with the EXACT structure create_state's
+    subprocess path produces — built from the init-blob template (no
+    device work, no 2 GB deserialize). Lets bench.py AOT-lower/compile the
+    step program CONCURRENTLY with the real create_state: the two
+    dominant cold-start costs (blob load ~3 min, executable loads ~9 min
+    over the relay, BENCH_r03 stage marks) overlap instead of serializing.
+    """
+    template, _, _, _ = init_cache_info(
+        g_model, d_model, seed, batch_size, image_size)
+
+    def build(vars_):
+        g_params, g_state = _split_vars(vars_["g"])
+        d_params, d_state = _split_vars(vars_["d"])
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_state=g_state,
+            d_params=d_params,
+            d_state=d_state,
+            g_opt=g_tx.init(g_params),
+            d_opt=d_tx.init(d_params),
+        )
+
+    return jax.eval_shape(build, template)
+
+
 def _stable_dumps(obj) -> bytes:
     """pickle.dumps with flax's per-process FlaxId counters zeroed, so the
     bytes are a process-stable structural key for a module tree (used only
@@ -236,17 +271,20 @@ def _bank_blob_from_classic(g_model, d_model, seed, batch_size, image_size):
     return flax.serialization.to_bytes(c_vars)
 
 
-def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
-    """Model init in a JAX_PLATFORMS=cpu subprocess (see _init_worker.py).
-    Returns {"g": vars, "d": vars} as numpy pytrees, or None on failure
-    (caller falls back to in-process jitted init)."""
+def ensure_init_blob(g_model, d_model, rng, batch_size, image_size):
+    """Generate-only init path: make sure the init blob cache file exists
+    (migrating legacy keys / deriving the style-bank layout / running the
+    clean-CPU init worker as needed) WITHOUT deserializing the ~2 GB blob.
+    Returns (template, cache_file) or None on failure. Callers that need
+    the variables use _init_in_subprocess; tools that only want the cache
+    file on disk (tools/regen_init_blob.py) use this and skip the
+    minutes-long from_bytes pass (ADVICE r3)."""
     import os
     import pickle
     import subprocess
     import sys
     import tempfile
 
-    import flax.serialization
     import numpy as np
 
     try:
@@ -299,10 +337,7 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
                     f.write(blob)
                 os.replace(tmp, cache_file)
 
-        if os.path.exists(cache_file):
-            with open(cache_file, "rb") as f:
-                blob = f.read()
-        else:
+        if not os.path.exists(cache_file):
             with tempfile.TemporaryDirectory() as td:
                 payload = os.path.join(td, "payload.pkl")
                 out = os.path.join(td, "vars.msgpack")
@@ -332,6 +367,24 @@ def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, cache_file)
+        return template, cache_file
+    except Exception:
+        return None
+
+
+def _init_in_subprocess(g_model, d_model, rng, batch_size, image_size):
+    """Model init in a JAX_PLATFORMS=cpu subprocess (see _init_worker.py).
+    Returns {"g": vars, "d": vars} as numpy pytrees, or None on failure
+    (caller falls back to in-process jitted init)."""
+    import flax.serialization
+
+    got = ensure_init_blob(g_model, d_model, rng, batch_size, image_size)
+    if got is None:
+        return None
+    template, cache_file = got
+    try:
+        with open(cache_file, "rb") as f:
+            blob = f.read()
         return flax.serialization.from_bytes(template, blob)
     except Exception:
         return None

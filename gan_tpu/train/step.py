@@ -75,7 +75,14 @@ def build_train_step(
     jit: bool = True,
     in_shardings=None,
     out_shardings=None,
+    guard: Optional[bool] = None,
 ) -> TrainStep:
+    """guard: wrap every step variant in utils.guards.finite_guard — a
+    non-finite metric skips the whole update on-device (params/opt/state
+    roll back via jnp.where select) and metrics gain 'skipped' (0/1).
+    None reads GAN_TPU_FINITE_GUARD (default off: the guard changes the
+    step HLO, so flipping it invalidates the warm flagship compile cache —
+    same re-prewarm rule as the other program levers, docs/STATUS.md)."""
     obj = objective
     z_dim = g_model.z_dim
     k = float(obj.lazy_interval)
@@ -232,6 +239,16 @@ def build_train_step(
         state = state.replace(step=state.step + 1)
         return state, metrics
 
+    guard_on = (guard if guard is not None
+                else os.environ.get("GAN_TPU_FINITE_GUARD", "0") == "1")
+    if guard_on:
+        # inside the (to-be-jitted) program: the rollback select fuses with
+        # the optimizer update; wrapping OUTSIDE jit would read donated
+        # buffers. SURVEY SS5.3 failure detection, wired per VERDICT r3 #5.
+        from gan_tpu.utils.guards import finite_guard
+
+        step = finite_guard(step)
+
     def cadence(state: GANTrainState, batches, rngs):
         """One full lazy interval per dispatch: step 0 with penalties, then
         scan the k-1 penalty-free steps (same HLO as the two single-step
@@ -268,6 +285,12 @@ def build_train_step(
         _, rng_g = jax.random.split(rng)
         state, g_metrics = g_update(state, batch.shape[0], batch.dtype, rng_g)
         return state.replace(step=state.step + 1), g_metrics
+
+    if guard_on:
+        from gan_tpu.utils.guards import finite_guard
+
+        d_step = finite_guard(d_step)
+        g_step = finite_guard(g_step)
 
     split = os.environ.get("GAN_TPU_SPLIT_STEP", "0") == "1" and (
         in_shardings is None and out_shardings is None
@@ -315,7 +338,12 @@ def build_train_step(
                 def run(state, batch, rng):
                     state, dm = d_fn(state, batch, rng)
                     state, gm = g_jit(state, batch, rng)
-                    return state, {**dm, **gm}
+                    m = {**dm, **gm}
+                    if "skipped" in dm and "skipped" in gm:
+                        # either half skipping marks the step skipped
+                        m["skipped"] = jnp.maximum(dm["skipped"],
+                                                   gm["skipped"])
+                    return state, m
 
                 return run
 

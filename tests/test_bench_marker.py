@@ -65,3 +65,30 @@ def test_module_signature_skips_default_fields():
     # non-default values still distinguish
     assert _module_signature(A2()) != _module_signature(A2(z=True))
     assert _module_signature(A(x=2)) != _module_signature(A())
+
+
+def test_abstract_state_matches_create_state():
+    """bench.py's AOT overlap lowers the step against abstract_state; a
+    structure mismatch with the real create_state output would make the
+    AOT executable unusable (and worse, compile a DIFFERENT program than
+    the warm cache holds). Pin exact pytree structure + avals."""
+    import jax
+
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train import create_state
+    from gan_tpu.train.state import abstract_state
+
+    obj = get_objective("wganlazygpR2")
+    g = build_generator("G1", z_dim=16)
+    d = build_discriminator("D3_wgangp", ndf=4)
+    g_tx, d_tx = obj.make_optimizers()
+    st = create_state(jax.random.PRNGKey(0), g, d, g_tx, d_tx,
+                      batch_size=4, image_size=(64, 64, 3))
+    ab = abstract_state(g, d, g_tx, d_tx, batch_size=4,
+                        image_size=(64, 64, 3))
+    assert (jax.tree_util.tree_structure(st)
+            == jax.tree_util.tree_structure(ab))
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(ab)):
+        assert a.shape == b.shape and a.dtype == b.dtype

@@ -44,3 +44,93 @@ def test_cost_analysis_reports_flops():
     assert isinstance(costs, dict)
     # flops key present on CPU/TPU backends (value backend-dependent)
     assert any("flops" in k for k in costs) or costs == {}
+
+def test_train_step_guard_skips_poisoned_batch():
+    """Loop-level wiring (VERDICT r3 #5): a jitted, state-donating train
+    step built with guard=True rolls the whole update back when a
+    poisoned batch drives the metrics non-finite, and reports it via
+    metrics['skipped'] — without corrupting the donated state."""
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train import create_state, build_train_step
+
+    obj = get_objective("wganlazygpR2")
+    g = build_generator("G1", z_dim=16)
+    d = build_discriminator("D3_wgangp", ndf=4)
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    state = create_state(rng, g, d, g_tx, d_tx, batch_size=4,
+                         image_size=(64, 64, 3))
+    step = build_train_step(g, d, obj, g_tx, d_tx, jit=True, guard=True)
+
+    clean = jax.random.normal(rng, (4, 64, 64, 3))
+    state, m = step(state, clean, jax.random.PRNGKey(1), 0)
+    assert float(m["skipped"]) == 0.0
+
+    # host copies BEFORE the poisoned dispatch (the step donates state)
+    before = jax.device_get((state.g_params, state.d_params))
+    poisoned = clean.at[0, 0, 0, 0].set(jnp.nan)
+    state, m = step(state, poisoned, jax.random.PRNGKey(2), 1)
+    assert float(m["skipped"]) == 1.0
+    after = jax.device_get((state.g_params, state.d_params))
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    # and the guarded step still trains on the next clean batch
+    state, m = step(state, clean, jax.random.PRNGKey(3), 2)
+    assert float(m["skipped"]) == 0.0
+    after2 = jax.device_get(state.d_params)
+    assert not np.allclose(jax.tree_util.tree_leaves(after[1])[0],
+                           jax.tree_util.tree_leaves(after2)[0])
+
+
+def test_trainer_finite_guard_end_to_end(tmp_path):
+    """Trainer(finite_guard=True) survives a poisoned loader batch: the
+    update is skipped and all state stays finite."""
+    from gan_tpu.data import SyntheticDataset, DataLoader
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train.loop import Trainer
+
+    class PoisonLoader:
+        """Wraps a loader, injecting NaNs into batch index 1."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.batch_size = inner.batch_size
+            self.dataset = inner.dataset
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for i, b in enumerate(self.inner):
+                # consistent float batches (preprocess=False feeds raw):
+                # a dtype flip between iterations would recompile the step
+                b = np.asarray(b, np.float32) / 127.5 - 1.0
+                if i == 1:
+                    b[0] = np.nan
+                yield b
+
+    loader = PoisonLoader(
+        DataLoader(SyntheticDataset(n=24, size=(64, 64)), batch_size=8))
+    tr = Trainer(
+        dataloader=loader,
+        num_epochs=1,
+        nz=16,
+        generator=build_generator("G1", z_dim=16),
+        generator_name="G1",
+        discriminator=build_discriminator("D1"),
+        discriminator_name="D1",
+        objective=get_objective("gan"),
+        workdir=str(tmp_path),
+        log_every=0,
+        checkpoint=False,
+        preprocess=False,
+        finite_guard=True,
+    )
+    tr.train()
+    for leaf in jax.tree_util.tree_leaves(
+            (tr.state.g_params, tr.state.d_params)):
+        assert bool(jnp.isfinite(leaf).all())

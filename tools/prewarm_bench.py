@@ -13,7 +13,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+LEVER_KEYS = ("GAN_TPU_RIR_IMPL", "GAN_TPU_REMAT", "GAN_TPU_STYLE_BANK",
+              "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP")
+
+
+def _cache_dir():
+    return os.environ.get(
+        "GAN_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+
+
+def _write_warm_marker(bs, dt, flags):
+    """BENCH_WARM_b{bs}[_{dt}] marker + .flags sidecar (the lever env the
+    program was compiled under; bench applies it from the sidecar so it
+    runs the program the cache actually holds)."""
+    import json
+
+    sfx = "" if dt in ("f32", "auto") else f"_{dt}"
+    marker = os.path.join(_cache_dir(), f"BENCH_WARM_b{bs}{sfx}")
+    open(marker, "w").write("ok")
+    with open(marker + ".flags", "w") as f:
+        json.dump({"env": flags}, f)
+
+
 def main():
+    import json
+
     os.environ.setdefault("BENCH_STEPS", "2")
     os.environ["BENCH_FORCE_FLAGSHIP"] = "1"
     # run the measurement in-process with NO watchdog: prewarm is the one
@@ -22,56 +49,56 @@ def main():
     import bench
 
     result = bench.main()
+    flags = {k: os.environ[k] for k in LEVER_KEYS if k in os.environ}
+    bs, dt = getattr(bench, "RESOLVED", None) or (
+        os.environ.get("BENCH_BATCH", "16"),
+        os.environ.get("BENCH_DTYPE", "f32"),
+    )
     # A/B guard: when the cache already holds a VALID measured marker
-    # (same executables still present) with a FASTER number — e.g. the
-    # classic program's record while we A/B a lever config — keep the
-    # faster config's markers; this run was a measurement, not a flip.
+    # (same executables still present) for a DIFFERENT lever config with a
+    # FASTER number, keep the faster config's markers; this run was an A/B
+    # measurement, not a flip. A same-config re-measure always overwrites
+    # (the fresh number reflects current code — ADVICE r3 medium).
     # PREWARM_FORCE=1 overrides (explicit flip).
     if (result and result.get("value", 0) > 0
             and os.environ.get("PREWARM_FORCE") != "1"):
         prior = bench._load_measured_marker()
         if prior and prior.get("value", 0) > result["value"]:
-            print(f"# prewarm: measured {result['value']} < existing valid "
-                  f"marker {prior['value']} — keeping existing markers "
-                  f"(PREWARM_FORCE=1 to flip)")
-            return result
+            try:
+                with open(bench._measured_marker_path()) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                rec = {}
+            prior_flags = rec.get("flags")
+            if prior_flags is not None and prior_flags != flags:
+                print(f"# prewarm A/B: measured {result['value']} "
+                      f"(flags={flags}) < existing valid marker "
+                      f"{prior['value']} (flags={prior_flags}) — keeping "
+                      f"existing markers (PREWARM_FORCE=1 to flip)")
+                # re-materialize the prior config's warm marker + .flags
+                # sidecar in case the cache prune deleted them (ADVICE r3
+                # low): without the sidecar bench would run the warm
+                # program under THIS run's lever env.
+                p_bs, p_dt = rec.get("resolved") or (bs, dt)
+                _write_warm_marker(p_bs, p_dt, prior_flags)
+                return result
     # Write the freshness-checked measured marker: the number bench.py
     # may fall back to when a live attempt blows its budget (relay
-    # session stalls). Tied to the cache fingerprint + repo HEAD so a
-    # stale number is never reported for a changed program.
+    # session stalls). Records the lever flags + resolved (batch, dtype)
+    # so later A/B runs can distinguish a true config change from a
+    # same-config re-measure and can restore the sidecar.
     if result and result.get("value", 0) > 0:
-        import json
-
         with open(bench._measured_marker_path(), "w") as f:
             json.dump({"fingerprint": bench._cache_fingerprint(),
                        "entries": bench._cache_entries(),
+                       "flags": flags,
+                       "resolved": [bs, dt],
                        "result": result}, f)
     # success -> leave the warm marker so bench.py picks the flagship.
     # Use the (batch, dtype) the measurement actually resolved and warmed
     # (bench.RESOLVED), not raw env defaults — the auto-scan may have
     # picked a different pair than the env implies (ADVICE r2).
-    cache_dir = os.environ.get(
-        "GAN_TPU_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    bs, dt = getattr(bench, "RESOLVED", None) or (
-        os.environ.get("BENCH_BATCH", "16"),
-        os.environ.get("BENCH_DTYPE", "f32"),
-    )
-    sfx = "" if dt in ("f32", "auto") else f"_{dt}"
-    marker = os.path.join(cache_dir, f"BENCH_WARM_b{bs}{sfx}")
-    open(marker, "w").write("ok")
-    # record the lever env this program was compiled under (style bank /
-    # folded pairs / pool impl / split step); bench applies it from the
-    # sidecar so it runs the program the cache actually holds
-    import json as _json
-
-    flags = {k: os.environ[k] for k in (
-        "GAN_TPU_RIR_IMPL", "GAN_TPU_REMAT", "GAN_TPU_STYLE_BANK",
-        "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP") if k in os.environ}
-    with open(marker + ".flags", "w") as f:
-        _json.dump({"env": flags}, f)
+    _write_warm_marker(bs, dt, flags)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     from __graft_entry__ import _flagship
-    from gan_tpu.train.state import _init_in_subprocess, init_cache_info
+    from gan_tpu.train.state import ensure_init_blob, init_cache_info
 
     g, d, _, _ = _flagship(tiny=False, dtype=None)
 
@@ -44,6 +44,7 @@ def main():
         rngs.append(("Trainer(seed=0) init split",
                      jax.random.split(jax.random.PRNGKey(0), 3)[1]))
 
+    failed = []
     for label, rng in rngs:
         import numpy as np
 
@@ -58,12 +59,18 @@ def main():
             continue
         print(f"{label}: generating {os.path.basename(cache_file)} ...",
               flush=True)
-        vars_ = _init_in_subprocess(g, d, rng, args.batch, (64, 64, 3))
-        if vars_ is None:
-            print(f"{label}: FAILED (worker returned nonzero)")
-            sys.exit(1)
+        # generate-only: writes the cache file without deserializing the
+        # ~2 GB blob back into numpy (ADVICE r3)
+        got = ensure_init_blob(g, d, rng, args.batch, (64, 64, 3))
+        if got is None:
+            print(f"{label}: FAILED (init worker failed: nonzero exit, "
+                  f"timeout, or error)", flush=True)
+            failed.append(label)
+            continue
         print(f"{label}: done — {os.path.basename(cache_file)} "
               f"{os.path.getsize(cache_file) / 2**30:.2f} GiB", flush=True)
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
