@@ -144,11 +144,12 @@ def translate_g8_path(comps: Tuple[str, ...], leaf: str
 
 
 def _layout(t: np.ndarray, term: str) -> np.ndarray:
+    if t.ndim != 4:
+        return t
     if term == "convT":  # torch (in, out, kh, kw) -> flax flipped (k,k,in,out)
         return np.ascontiguousarray(np.transpose(t, (2, 3, 0, 1))[::-1, ::-1])
-    if t.ndim == 4:  # torch (out, in/groups, kh, kw) -> flax (k,k,in/g,out)
-        return np.transpose(t, (2, 3, 1, 0))
-    return t
+    # torch (out, in/groups, kh, kw) -> flax (k,k,in/g,out)
+    return np.transpose(t, (2, 3, 1, 0))
 
 
 def import_g8(variables: Dict, state_dict) -> Dict:

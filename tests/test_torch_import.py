@@ -328,3 +328,94 @@ def test_d94_thesis_critic_import_forward_parity():
     theirs = td(_nchw(x)).detach().numpy().reshape(ours.shape)
     assert np.abs(theirs).max() > 0.5  # non-degenerate
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_d8_import_forward_parity():
+    """D8 (labml StyleGAN2 critic): name-directed import
+    (io/torch_import_d8.py), forward parity at batch 8 — exercises the
+    Smooth+bicubic DownSample, 1/sqrt(2) residual scaling, MiniBatchStdDev
+    group flatten, and the channel-major head-flatten re-ordering."""
+    import math
+
+    from gan_tpu.models import build_discriminator
+    from gan_tpu.io.torch_import_d8 import import_d8
+
+    torch.manual_seed(0)
+    td = _load_ref("discriminators/discriminator_8.py").Discriminator(
+        log_resolution=int(math.log2(64)))
+    td.eval()
+    d = build_discriminator("D8")
+    v = jax.tree_util.tree_map(np.asarray, dict(
+        d.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((8, 64, 64, 3)), train=False, update_sn=False)))
+    v2 = import_d8(v, td.state_dict())
+    x = np.random.default_rng(7).normal(size=(8, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = td(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    ours = np.asarray(d.apply({"params": v2["params"]}, jnp.asarray(x),
+                              train=False, update_sn=False))
+    scale = np.abs(theirs).max()
+    assert scale > 1e-3
+    assert np.abs(ours - theirs).max() / scale < 1e-4
+
+
+def test_g8_import_translation_exhaustive():
+    """G8: the name-directed translator (io/torch_import_g8.py) consumes
+    EVERY reference tensor exactly once with matching shapes (including
+    the nn.vmap RiR pair stacks). Cheap structural check — full value
+    parity runs in tools/g8_parity.py (docs/evidence/g8_parity.json)."""
+    from gan_tpu.models import build_generator
+    from gan_tpu.io.torch_import_g8 import import_g8
+
+    torch.manual_seed(0)
+    tg = _load_ref("generators/generator_8.py").Generator(z_dim=64)
+    g = build_generator("G8", z_dim=64)
+    tmpl = jax.eval_shape(
+        lambda k: g.init({"params": k, "noise": k},
+                         jnp.zeros((2, 64)), train=True),
+        jax.random.PRNGKey(0))
+    zeros = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, np.float32), dict(tmpl))
+    v2 = import_g8(zeros, tg.state_dict())  # raises on any gap
+    n = sum(np.asarray(x).size
+            for x in jax.tree_util.tree_leaves(v2["params"]))
+    # pinned G8 trainable count at z_dim=256 minus the z-dim delta on the
+    # first ConvT kernel ((256-64) * planes*16 * 4*4)
+    assert n == 66_194_894 - (256 - 64) * 1024 * 16
+
+
+@pytest.mark.skipif(
+    os.environ.get("GAN_TPU_SLOW_TESTS") != "1",
+    reason="~15 min eager CPU run; tools/g8_parity.py runs the same check "
+           "standalone and writes docs/evidence/g8_parity.json")
+def test_g8_import_forward_parity():
+    """G8 full value parity (the SkipTreeGenerator spine shared by
+    G9/G10/G10_2/G11)."""
+    from gan_tpu.models import build_generator, core
+    from gan_tpu.io.torch_import_g8 import import_g8
+
+    torch.manual_seed(0)
+    tg = _load_ref("generators/generator_8.py").Generator(z_dim=64)
+    g = build_generator("G8", z_dim=64)
+    v = jax.tree_util.tree_map(np.asarray, dict(
+        g.init({"params": jax.random.PRNGKey(0),
+                "noise": jax.random.PRNGKey(1)},
+               jnp.zeros((8, 64)), train=True)))
+    v2 = import_g8(v, tg.state_dict())
+    z = np.random.default_rng(7).normal(size=(8, 64)).astype(np.float32)
+    for train in (False, True):
+        tg.train(train)
+        with torch.no_grad():
+            theirs = tg(torch.from_numpy(z).reshape(8, 64, 1, 1)) \
+                .numpy().transpose(0, 2, 3, 1)
+        with core.exact_batchnorm_variance():
+            out = g.apply(
+                {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+                jnp.asarray(z), train=train,
+                **({"mutable": ["batch_stats"]} if train else {}))
+        ours = np.asarray(out[0] if train else out)
+        scale = np.abs(theirs).max()
+        assert scale > 0.05
+        assert np.abs(ours - theirs).max() / scale < (1e-4 if not train
+                                                      else 1e-3)

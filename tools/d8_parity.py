@@ -79,7 +79,8 @@ def main():
     x = np.random.default_rng(7).normal(
         size=(args.batch, 64, 64, 3)).astype(np.float32)
     with torch.no_grad():
-        theirs = td(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        theirs = td(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
     ours = np.asarray(d.apply({"params": v2["params"]}, jnp.asarray(x),
                               train=False, update_sn=False))
     max_abs = float(np.abs(ours - theirs).max())
