@@ -142,9 +142,16 @@ def _measure():
     # background thread while the main thread AOT-lowers/compiles the step
     # programs against an abstract state (train/state.abstract_state — no
     # real buffers needed). The AOT path produces the SAME cache key as
-    # the jit dispatch path (verified live; fast_compile_options ride on
-    # the jit wrapper), so the prewarmed executables load, not recompile.
-    overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
+    # the jit dispatch path (verified live on a small program), so the
+    # prewarmed executables load, not recompile.
+    #
+    # DEFAULT OFF: at flagship scale the two threads' CONCURRENT relay
+    # calls (device_put/opt_init vs executable load) wedged the relay
+    # session permanently (r4: CPU frozen 40+ min at the same tick, both
+    # threads in socket wait — the same failure mode CLAUDE.md records
+    # for concurrent axon processes). Until the relay tolerates it, the
+    # safe win is smaller programs (split-step lever), not concurrency.
+    overlap = os.environ.get("BENCH_OVERLAP", "0") == "1"
     aot_ok = False
     mark(f"start create_state ({g_name}+{d_name} b{batch_size} {dtype_name})"
          + (" [background]" if overlap else ""))
@@ -195,11 +202,13 @@ def _measure():
                                              parts["nopen"]["g"]),
                 )
             else:
-                pen_c = step.with_penalties.lower(
-                    ab, b_aval, k_aval).compile()
+                pen_l = step.with_penalties.lower(ab, b_aval, k_aval)
+                mark("pen lowered (AOT)")
+                pen_c = pen_l.compile()
                 mark("pen executable ready (AOT)")
-                nopen_c = step.without_penalties.lower(
-                    ab, b_aval, k_aval).compile()
+                nopen_l = step.without_penalties.lower(ab, b_aval, k_aval)
+                mark("nopen lowered (AOT)")
+                nopen_c = nopen_l.compile()
                 mark("nopen executable ready (AOT)")
                 step = step._replace(with_penalties=pen_c,
                                      without_penalties=nopen_c)
