@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 LEVER_KEYS = ("GAN_TPU_RIR_IMPL", "GAN_TPU_REMAT", "GAN_TPU_STYLE_BANK",
-              "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP")
+              "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP",
+              "GAN_TPU_FAST_COMPILE")
 
 
 def _cache_dir():
@@ -70,7 +71,14 @@ def main():
             except (OSError, ValueError):
                 rec = {}
             prior_flags = rec.get("flags")
-            if prior_flags is not None and prior_flags != flags:
+            prior_resolved = rec.get("resolved")
+            # config identity = lever flags + (batch, dtype): a b24 run
+            # must not silently overwrite a faster b16 marker just
+            # because the lever env matches
+            differs = (prior_flags != flags
+                       or (prior_resolved is not None
+                           and tuple(prior_resolved) != (bs, dt)))
+            if prior_flags is not None and differs:
                 print(f"# prewarm A/B: measured {result['value']} "
                       f"(flags={flags}) < existing valid marker "
                       f"{prior['value']} (flags={prior_flags}) — keeping "
