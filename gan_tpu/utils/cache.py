@@ -37,8 +37,12 @@ def fast_compile_options() -> dict:
         return {}
     # names validated against this environment's PJRT: bare (unprefixed)
     # effort fields are accepted; xla_/xla_tpu_-prefixed variants crash the
-    # compile helper
+    # compile helper.
+    # GAN_TPU_MEM_EFFORT overrides memory_fitting_effort alone (measured on
+    # the b20 flagship g-program: -1.0 -> 15.88G, default -> 16.60G; a
+    # higher effort is the knob when a program misses HBM by ~100s of MB).
     return {
         "exec_time_optimization_effort": -1.0,
-        "memory_fitting_effort": -1.0,
+        "memory_fitting_effort": float(
+            os.environ.get("GAN_TPU_MEM_EFFORT", "-1.0")),
     }

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEVER_KEYS = ("GAN_TPU_RIR_IMPL", "GAN_TPU_REMAT", "GAN_TPU_STYLE_BANK",
               "GAN_TPU_POOL_IMPL", "GAN_TPU_SPLIT_STEP",
-              "GAN_TPU_FAST_COMPILE")
+              "GAN_TPU_FAST_COMPILE", "GAN_TPU_MEM_EFFORT")
 
 
 def _cache_dir():
