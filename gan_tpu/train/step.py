@@ -214,7 +214,17 @@ def build_train_step(
         def loss_fn(g_params):
             fake, g_state = g_forward(g_params, state.g_state, z, rng_noise, mutable=True)
             # D forward against updated D; D stats not updated here.
-            pred, _ = d_forward(state.d_params, state.d_state, fake, update=False)
+            # GAN_TPU_G_DFWD_REMAT=1: rematerialize the whole D forward in
+            # the backward pass instead of keeping its activations live —
+            # the G-update program is the HBM blocker for batch scaling
+            # (b20 misses by 137 MB, docs/STATUS.md r4); identical math.
+            if os.environ.get("GAN_TPU_G_DFWD_REMAT", "0") == "1":
+                pred = jax.checkpoint(
+                    lambda f: d_forward(state.d_params, state.d_state, f,
+                                        update=False)[0])(fake)
+            else:
+                pred, _ = d_forward(state.d_params, state.d_state, fake,
+                                    update=False)
             if obj.loss == "bce":
                 loss = L.g_loss_bce(rng_lbl, pred)
             else:

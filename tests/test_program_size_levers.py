@@ -80,3 +80,36 @@ def test_split_step_matches_monolithic(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(mb[k]), np.asarray(ma[k]), rtol=1e-5,
                 atol=1e-6, err_msg=k)
+
+
+def test_g_dfwd_remat_matches_default(monkeypatch):
+    """GAN_TPU_G_DFWD_REMAT=1 (jax.checkpoint around the D forward inside
+    the G loss — the b20 HBM lever, docs/STATUS.md r4) is a pure remat:
+    identical metrics and updated params."""
+    from gan_tpu.models import build_generator, build_discriminator
+    from gan_tpu.objectives import get_objective
+    from gan_tpu.train import create_state, build_train_step
+
+    obj = get_objective("wganlazygpR2")
+    g = build_generator("G1", z_dim=16)
+    d = build_discriminator("D3_wgangp", ndf=4)
+    g_tx, d_tx = obj.make_optimizers()
+    rng = jax.random.PRNGKey(0)
+    batch = jax.random.normal(rng, (4, 64, 64, 3))
+
+    def run():
+        state = create_state(rng, g, d, g_tx, d_tx, batch_size=4,
+                             image_size=(64, 64, 3))
+        step = build_train_step(g, d, obj, g_tx, d_tx, jit=True)
+        state, m = step(state, batch, jax.random.PRNGKey(1), 0)
+        return jax.device_get((state.g_params, m))
+
+    monkeypatch.delenv("GAN_TPU_G_DFWD_REMAT", raising=False)
+    p_ref, m_ref = run()
+    monkeypatch.setenv("GAN_TPU_G_DFWD_REMAT", "1")
+    p_got, m_got = run()
+    for k in m_ref:
+        np.testing.assert_allclose(m_got[k], m_ref[k], rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
