@@ -67,7 +67,7 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     v = v_ref[0].astype(jnp.float32)
     o = jnp.dot(p / l, v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).reshape(-1)
+    lse_ref[0, 0] = (m + jnp.log(l)).reshape(-1)
 
 
 def _pallas_forward(q, k, v, block_q: int, interpret: bool):
@@ -84,11 +84,15 @@ def _pallas_forward(q, k, v, block_q: int, interpret: bool):
         ],
         out_specs=(
             pl.BlockSpec((1, tq, e), lambda ib, jq: (ib, jq, 0)),
-            pl.BlockSpec((1, tq), lambda ib, jq: (ib, jq)),
+            # lse rides as (b, 1, n): a 2-D (1, tq) block violates
+            # Mosaic's last-two-dims rule (second-to-last must be
+            # divisible by 8 or full) whenever b > 1; the singleton
+            # middle dim makes the block's second-to-last dim full.
+            pl.BlockSpec((1, 1, tq), lambda ib, jq: (ib, 0, jq)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, e), q.dtype),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ),
         interpret=interpret,
     )(q, k, v)
@@ -103,11 +107,11 @@ def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TQ, N)
-    p = jnp.exp(s - lse_ref[0].reshape(-1, 1))
+    p = jnp.exp(s - lse_ref[0, 0].reshape(-1, 1))
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TQ, N)
-    ds = p * (dp - delta_ref[0].reshape(-1, 1))
+    ds = p * (dp - delta_ref[0, 0].reshape(-1, 1))
     dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(
         dq_ref.dtype
     )
@@ -124,14 +128,14 @@ def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s2 = jax.lax.dot_general(
         kt, qf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TK, N)
-    p2 = jnp.exp(s2 - lse_ref[0].reshape(1, -1))
+    p2 = jnp.exp(s2 - lse_ref[0, 0].reshape(1, -1))
     dv_ref[0] = jnp.dot(p2, do, preferred_element_type=jnp.float32).astype(
         dv_ref.dtype
     )
     dp2 = jax.lax.dot_general(
         vt, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TK, N)
-    ds2 = p2 * (dp2 - delta_ref[0].reshape(1, -1))
+    ds2 = p2 * (dp2 - delta_ref[0, 0].reshape(1, -1))
     dk_ref[0] = jnp.dot(ds2, qf, preferred_element_type=jnp.float32).astype(
         dk_ref.dtype
     )
@@ -156,13 +160,21 @@ def _pallas_attention_bwd(block_q, interpret, res, do):
     q, k, v, o, lse = res
     b, n, e = q.shape
     t = min(block_q, n)
+    # Each backward kernel holds ~4 (t, n) f32 score-sized temps on the
+    # VMEM stack (s/p/dp/ds); at n=4096, t=256 that is 16.8 MB — over the
+    # 16 MB scoped-vmem limit (measured live). Shrink the tile until the
+    # score temps fit in ~8 MB, leaving room for the full-row q/do blocks.
+    while t > 8 and 4 * t * n * 4 > 8 * 2**20:
+        t //= 2
     grid = (b, pl.cdiv(n, t))
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # delta rides (b, 1, n) like lse (Mosaic last-two-dims rule, see fwd)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]
 
     full = lambda ib, jt: (ib, 0, 0)
     tile = lambda ib, jt: (ib, jt, 0)
-    row_tile = lambda ib, jt: (ib, jt)
-    row_full = lambda ib, jt: (ib, 0)
+    row_tile = lambda ib, jt: (ib, 0, jt)
+    row_full = lambda ib, jt: (ib, 0, 0)
 
     dq = pl.pallas_call(
         _attn_dq_kernel,
@@ -172,8 +184,8 @@ def _pallas_attention_bwd(block_q, interpret, res, do):
             pl.BlockSpec((1, n, e), full),      # k
             pl.BlockSpec((1, n, e), full),      # v
             pl.BlockSpec((1, t, e), tile),      # do
-            pl.BlockSpec((1, t), row_tile),     # lse
-            pl.BlockSpec((1, t), row_tile),     # delta
+            pl.BlockSpec((1, 1, t), row_tile),  # lse
+            pl.BlockSpec((1, 1, t), row_tile),  # delta
         ],
         out_specs=pl.BlockSpec((1, t, e), tile),
         out_shape=jax.ShapeDtypeStruct((b, n, e), q.dtype),
@@ -188,8 +200,8 @@ def _pallas_attention_bwd(block_q, interpret, res, do):
             pl.BlockSpec((1, t, e), tile),      # k tile
             pl.BlockSpec((1, t, e), tile),      # v tile
             pl.BlockSpec((1, n, e), full),      # do (full)
-            pl.BlockSpec((1, n), row_full),     # lse (full rows)
-            pl.BlockSpec((1, n), row_full),     # delta (full rows)
+            pl.BlockSpec((1, 1, n), row_full),  # lse (full rows)
+            pl.BlockSpec((1, 1, n), row_full),  # delta (full rows)
         ],
         out_specs=(
             pl.BlockSpec((1, t, e), tile),
