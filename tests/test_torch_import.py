@@ -419,3 +419,31 @@ def test_g8_import_forward_parity():
         assert scale > 0.05
         assert np.abs(ours - theirs).max() / scale < (1e-4 if not train
                                                       else 1e-3)
+
+
+def test_d5_wgangp_import_forward_parity():
+    """D5_wgangp (RiR dual-stream critic): name-directed import
+    (io/torch_import_d5.py), forward parity — certifies the
+    residual/transient cross-wiring, shortcut placement, and the
+    concat + conv head against the reference."""
+    from gan_tpu.models import build_discriminator
+    from gan_tpu.io.torch_import_d5 import import_d5_wgangp
+
+    torch.manual_seed(0)
+    td = _load_ref("discriminators/discriminator_5_wgangp.py").Discriminator()
+    td.eval()
+    d = build_discriminator("D5_wgangp")
+    v = jax.tree_util.tree_map(np.asarray, dict(
+        d.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((4, 64, 64, 3)), train=False, update_sn=False)))
+    v2 = import_d5_wgangp(v, td.state_dict())
+    x = np.random.default_rng(7).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = td(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    ours = np.asarray(d.apply({"params": v2["params"]}, jnp.asarray(x),
+                              train=False, update_sn=False))
+    ours = ours.reshape(theirs.shape)
+    scale = np.abs(theirs).max()
+    assert scale > 1e-3
+    assert np.abs(ours - theirs).max() / scale < 1e-4
