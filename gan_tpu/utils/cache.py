@@ -18,6 +18,11 @@ def enable_compilation_cache(cache_dir: str = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
         )
+    if cache_dir in ("0", "off", "none"):
+        # explicit opt-out: single-process runs (the multichip dryrun)
+        # gain nothing from persistence, and XLA:CPU AOT reloads spew
+        # machine-feature validation errors (MULTICHIP_r03 tail)
+        return ""
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
