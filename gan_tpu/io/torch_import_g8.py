@@ -32,7 +32,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["import_g8", "translate_g8_path"]
+__all__ = ["import_g8", "import_d6", "translate_g8_path",
+           "translate_d6_path"]
 
 # vmap stack component -> ordered torch attribute names (axis order =
 # blocks_rir.RiR fused stacking: pair=(x_res, x_tra); group_dd applied to
@@ -143,6 +144,73 @@ def translate_g8_path(comps: Tuple[str, ...], leaf: str
     ], term
 
 
+_UPS_D6 = re.compile(r"^Downsample_(\d+)$")
+
+# D6 variant (discriminator_6_wgangp.py): LeakyReLU instead of PReLU and
+# no BatchNorm, so only the convs carry params and the Sequential indices
+# shift: res = Conv(0), LReLU, Conv(2), LReLU, Conv(4); se = AvgPool,
+# Conv(1), LReLU, Conv(3), Sigmoid.
+_SE_RES_D6 = {
+    "_Conv_0": "res.0", "_Conv_1": "res.2", "_Conv_2": "res.4",
+    "_Conv_3": "se.1", "_Conv_4": "se.3",
+}
+
+
+def translate_d6_path(comps: Tuple[str, ...], leaf: str
+                      ) -> Tuple[List[Tuple[Tuple[int, ...], str]], str]:
+    """D6_wgangp flax path -> torch keys under the 'model.' Sequential
+    (discriminator_6_wgangp.py:196-221). Tree internals share the G8
+    translator's structure with the D6 param-index maps."""
+    outs: List[Tuple[Tuple[int, ...], List[str]]] = [((), [])]
+    in_block = None
+
+    def emit(part: str):
+        for _, parts in outs:
+            parts.append(part)
+
+    term = "conv"  # every D6 param is a conv weight/bias
+    i = 0
+    while i < len(comps):
+        c = comps[i]
+        m_d, m_t = _UPS_D6.match(c), _TREE.match(c)
+        if m_d:
+            emit(f"model.Downsample_{m_d.group(1)}.0")
+            break
+        elif m_t:
+            emit(f"model.Tree_{m_t.group(1)}")
+        elif c == "LastConv":
+            emit("model.LastConv")
+            break
+        elif c in ("prev_root", "root") or c.startswith(("level_", "block_")):
+            emit(c)
+            in_block = c
+        elif c in _GROUP_STACKS:
+            outs = [
+                (ix + (j,), parts + [name])
+                for ix, parts in outs
+                for j, name in enumerate(_GROUP_STACKS[c])
+            ]
+        elif c.startswith("rir_"):
+            emit(c)
+        elif c in _SE_RES_D6 and any(g in comps for g in _GROUP_STACKS):
+            emit(_SE_RES_D6[c])
+            break
+        elif c == "_Conv_0":
+            # block-level 1x1 (no BN in D6): unify / root shortcut
+            emit("shortcut.0" if in_block == "root" else "unify.0")
+            break
+        else:
+            raise KeyError(f"unexpected component {c!r} in {comps}")
+        i += 1
+
+    field = {"kernel": "weight", "bias": "bias"}.get(leaf)
+    if field is None:
+        raise KeyError(f"no leaf mapping for {leaf} at {comps}")
+    return [
+        (ix, ".".join(parts + [field])) for ix, parts in outs
+    ], term
+
+
 def _layout(t: np.ndarray, term: str) -> np.ndarray:
     if t.ndim != 4:
         return t
@@ -155,6 +223,16 @@ def _layout(t: np.ndarray, term: str) -> np.ndarray:
 def import_g8(variables: Dict, state_dict) -> Dict:
     """Map a reference G8 state_dict onto the flax variables pytree
     (RiR fused=vmap layout). Verifies exhaustive consumption."""
+    return _import_named(variables, state_dict, translate_g8_path)
+
+
+def import_d6(variables: Dict, state_dict) -> Dict:
+    """Map a reference D6_wgangp state_dict onto the flax variables
+    pytree (gan_tpu/models/discriminators/d06.py)."""
+    return _import_named(variables, state_dict, translate_d6_path)
+
+
+def _import_named(variables: Dict, state_dict, translate) -> Dict:
     tensors = {}
     for k, v in state_dict.items():
         if k.endswith("num_batches_tracked"):
@@ -169,7 +247,7 @@ def import_g8(variables: Dict, state_dict) -> Dict:
             if hasattr(v, "items"):
                 new[k] = walk(v, prefix + (k,))
                 continue
-            entries, term = translate_g8_path(prefix, k)
+            entries, term = translate(prefix, k)
             arr = np.asarray(v)
             if len(entries[0][0]) == 0:
                 (_, key), = entries

@@ -447,3 +447,31 @@ def test_d5_wgangp_import_forward_parity():
     scale = np.abs(theirs).max()
     assert scale > 1e-3
     assert np.abs(ours - theirs).max() / scale < 1e-4
+
+
+def test_d6_wgangp_import_forward_parity():
+    """D6_wgangp (the 'wgangp' preset's tree critic): name-directed
+    import via the shared G8-family translator (D6 param-index variant) —
+    certifies the no-norm LeakyReLU tree machinery, reflect downsamples,
+    and 4x4 head value-for-value."""
+    from gan_tpu.models import build_discriminator
+    from gan_tpu.io.torch_import_g8 import import_d6
+
+    torch.manual_seed(0)
+    td = _load_ref("discriminators/discriminator_6_wgangp.py").Discriminator()
+    td.eval()
+    d = build_discriminator("D6_wgangp")
+    v = jax.tree_util.tree_map(np.asarray, dict(
+        d.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((4, 64, 64, 3)), train=False, update_sn=False)))
+    v2 = import_d6(v, td.state_dict())
+    x = np.random.default_rng(7).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = td(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    ours = np.asarray(d.apply({"params": v2["params"]}, jnp.asarray(x),
+                              train=False, update_sn=False))
+    ours = np.asarray(ours).reshape(theirs.shape)
+    scale = np.abs(theirs).max()
+    assert scale > 1e-4
+    assert np.abs(ours - theirs).max() / scale < 1e-4
